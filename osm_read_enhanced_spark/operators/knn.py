@@ -1,0 +1,139 @@
+"""kNN over geo points (SURVEY.md §2.5 J5, §2.7 W3).
+
+``knn_join``: kRing expansion reduces the theta-join to an equi-join —
+each left point probes the cells of its k-ring; right points are keyed
+by their cell. Exact haversine refine + row_number window top-k. The
+ring radius must cover the true kNN radius (pick ``res``/``ring`` so a
+ring holds ≥ k right points in the sparsest region of interest —
+documented contract, same as H3 kRing kNN in production systems).
+
+``knn_bruteforce``: exact O(n·m) variant used as the oracle at test
+scale and for small right sides (broadcast + no cell pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import hexgrid
+from ..functions.geo import haversine_col
+
+
+def _with_cell(df: DataFrame, res: int, lat_col: str, lon_col: str, out: str) -> DataFrame:
+    schema = T.StructType([*df.schema.fields, T.StructField(out, T.LongType(), False)])
+
+    def add(it):
+        for pdf in it:
+            yield pdf.assign(
+                **{
+                    out: hexgrid.hex_cell(
+                        pdf[lat_col].to_numpy(dtype=np.float64),
+                        pdf[lon_col].to_numpy(dtype=np.float64),
+                        res,
+                    )
+                }
+            )
+
+    return df.mapInPandas(add, schema)
+
+
+def _with_kring(df: DataFrame, res: int, ring: int, lat_col: str, lon_col: str) -> DataFrame:
+    schema = T.StructType(
+        [*df.schema.fields, T.StructField("probe_cells", T.ArrayType(T.LongType()), False)]
+    )
+
+    def add(it):
+        for pdf in it:
+            cells = hexgrid.hex_cell(
+                pdf[lat_col].to_numpy(dtype=np.float64),
+                pdf[lon_col].to_numpy(dtype=np.float64),
+                res,
+            )
+            rings = hexgrid.kring_cells(cells, k=ring)
+            yield pdf.assign(probe_cells=[r.tolist() for r in rings])
+
+    return df.mapInPandas(add, schema)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    ring: int = 1,
+    left_id: str = "point_id",
+    right_id: str = "neighbor_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """→ (left_id, right_id, rank, dist_m), rank 1..k by exact haversine,
+    ties broken by right id (deterministic)."""
+    lt = _with_kring(
+        left.select(F.col(left_id), F.col(lat_col), F.col(lon_col)), res, ring, lat_col, lon_col
+    ).select(
+        left_id,
+        F.col(lat_col).alias("_llat"),
+        F.col(lon_col).alias("_llon"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    rt = _with_cell(
+        right.select(F.col(right_id), F.col(lat_col), F.col(lon_col)), res, lat_col, lon_col,
+        "cell",
+    ).select(right_id, F.col(lat_col).alias("_rlat"), F.col(lon_col).alias("_rlon"), "cell")
+    cand = lt.join(rt, "cell", "inner")
+    if exclude_self:
+        cand = cand.filter(F.col(left_id) != F.col(right_id))
+    scored = cand.select(
+        left_id,
+        right_id,
+        haversine_col(F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")).alias(
+            "dist_m"
+        ),
+    ).dropDuplicates([left_id, right_id])
+    w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(), F.col(right_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(left_id, right_id, "rank", "dist_m")
+    )
+
+
+def knn_bruteforce(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "point_id",
+    right_id: str = "neighbor_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact kNN via broadcast cross join — the oracle path and the right
+    plan when the right side is small enough to broadcast."""
+    lt = left.select(
+        F.col(left_id), F.col(lat_col).alias("_llat"), F.col(lon_col).alias("_llon")
+    )
+    rt = right.select(
+        F.col(right_id), F.col(lat_col).alias("_rlat"), F.col(lon_col).alias("_rlon")
+    )
+    cand = lt.crossJoin(F.broadcast(rt))
+    if exclude_self:
+        cand = cand.filter(F.col(left_id) != F.col(right_id))
+    scored = cand.select(
+        left_id,
+        right_id,
+        haversine_col(F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")).alias(
+            "dist_m"
+        ),
+    )
+    w = Window.partitionBy(left_id).orderBy(F.col("dist_m").asc(), F.col(right_id).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(left_id, right_id, "rank", "dist_m")
+    )

@@ -1,0 +1,173 @@
+"""Distributed point-in-polygon joins (SURVEY.md §2.5 J4).
+
+Two physical strategies, chosen by polygon-layer size:
+
+- ``pip_join_broadcast`` — the north-star pattern: the polygon layer
+  (rings + bboxes) is broadcast once; every task lazily bulk-loads a
+  shared STR R-tree and probes it per Arrow batch, ray-casting only the
+  bbox candidates. Zero shuffle on the fact side; scales to any number
+  of points. Right choice while polygons ≤ a few hundred MB.
+- ``pip_join_cells`` — for huge polygon layers: polygons explode their
+  hex covering cells, points compute their cell, equi-join on the cell
+  (shuffle, AQE-skew-aware), then exact ray-cast refine per matched
+  pair. Shuffles scale with candidate pairs, not |points| × |polygons|.
+
+Both refine with the same vectorized kernel; results are identical.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import hexgrid
+from ..functions.pip import points_in_ring
+from .rtree import STRtree
+
+# per-executor cache of broadcast-built R-trees (keyed by broadcast id)
+_TREE_CACHE: dict = {}
+
+
+def _collect_polygon_layer(polygons: DataFrame):
+    """Driver-side: polygon layer → (ids, rings, boxes) plain arrays for
+    broadcast. Layer must be 'small' (admin/landuse scale)."""
+    rows = polygons.select("polygon_id", "lats", "lons").collect()
+    ids = np.array([r.polygon_id for r in rows], dtype=np.int64)
+    rings = [
+        (np.asarray(r.lats, dtype=np.float64), np.asarray(r.lons, dtype=np.float64))
+        for r in rows
+    ]
+    boxes = np.array(
+        [[lo.min(), la.min(), lo.max(), la.max()] for la, lo in rings], dtype=np.float64
+    )
+    return ids, rings, boxes
+
+
+def pip_join_broadcast(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """→ (point_id, polygon_id) exact containment pairs."""
+    spark = points.sparkSession
+    layer = _collect_polygon_layer(polygons)
+    bc = spark.sparkContext.broadcast(layer)
+
+    schema = T.StructType(
+        [
+            points.schema[point_id_col],
+            T.StructField("polygon_id", T.LongType(), False),
+        ]
+    )
+
+    def probe(it):
+        key = id(bc)
+        cached = _TREE_CACHE.get(key)
+        if cached is None:
+            ids, rings, boxes = bc.value
+            cached = (ids, rings, STRtree(boxes))
+            _TREE_CACHE[key] = cached
+        ids, rings, tree = cached
+        for pdf in it:
+            xs = pdf[lon_col].to_numpy(dtype=np.float64)
+            ys = pdf[lat_col].to_numpy(dtype=np.float64)
+            pi, bi = tree.query_points(xs, ys)
+            if len(pi) == 0:
+                continue
+            keep_p, keep_poly = [], []
+            # refine per candidate polygon (vectorize across its points)
+            order = np.argsort(bi, kind="stable")
+            pi, bi = pi[order], bi[order]
+            bounds = np.flatnonzero(np.r_[True, bi[1:] != bi[:-1], True])
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                poly = bi[a]
+                la, lo = rings[poly]
+                sel = pi[a:b]
+                m = points_in_ring(ys[sel], xs[sel], la, lo)
+                if m.any():
+                    keep_p.append(sel[m])
+                    keep_poly.append(np.full(int(m.sum()), ids[poly], dtype=np.int64))
+            if keep_p:
+                kp = np.concatenate(keep_p)
+                yield pd.DataFrame(
+                    {
+                        point_id_col: pdf[point_id_col].to_numpy()[kp],
+                        "polygon_id": np.concatenate(keep_poly),
+                    }
+                )
+
+    return points.select(point_id_col, lat_col, lon_col).mapInPandas(probe, schema)
+
+
+def pip_join_cells(
+    points: DataFrame,
+    polygon_layer: DataFrame,
+    res: int = 7,
+    point_id_col: str = "point_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Cell-coarse equi-join + exact refine → (point_id, polygon_id).
+
+    ``polygon_layer`` needs covering_cells (see build_polygon_layer).
+    ``salt_buckets`` > 0 adds an explicit salt on the cell key for
+    pathologically hot cells (dense-city skew) on top of AQE skew-join.
+    """
+    cell_schema = T.StructType(
+        [*points.select(point_id_col, lat_col, lon_col).schema.fields,
+         T.StructField("cell", T.LongType(), False)]
+    )
+
+    def add_cell(it):
+        for pdf in it:
+            cells = hexgrid.hex_cell(
+                pdf[lat_col].to_numpy(dtype=np.float64),
+                pdf[lon_col].to_numpy(dtype=np.float64),
+                res,
+            )
+            yield pdf.assign(cell=cells)
+
+    pts = points.select(point_id_col, lat_col, lon_col).mapInPandas(add_cell, cell_schema)
+    poly_cells = polygon_layer.select(
+        "polygon_id", "lats", "lons", F.explode("covering_cells").alias("cell")
+    )
+    if salt_buckets > 0:
+        # replicate polygon side per salt; points pick one salt
+        pts = pts.withColumn(
+            "_salt", (F.pmod(F.hash(F.col(point_id_col)), F.lit(salt_buckets))).cast("int")
+        )
+        poly_cells = poly_cells.crossJoin(
+            pts.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+        cand = pts.join(poly_cells, ["cell", "_salt"], "inner")
+    else:
+        cand = pts.join(poly_cells, "cell", "inner")
+
+    refine_schema = T.StructType(
+        [points.schema[point_id_col], T.StructField("polygon_id", T.LongType(), False)]
+    )
+
+    def refine(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ys = pdf[lat_col].to_numpy(dtype=np.float64)
+            xs = pdf[lon_col].to_numpy(dtype=np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            for poly_id, grp in pdf.groupby("polygon_id", sort=False):
+                idx = grp.index.to_numpy()
+                loc = pdf.index.get_indexer(idx)
+                la = np.asarray(grp["lats"].iloc[0], dtype=np.float64)
+                lo = np.asarray(grp["lons"].iloc[0], dtype=np.float64)
+                keep[loc] = points_in_ring(ys[loc], xs[loc], la, lo)
+            out = pdf.loc[keep, [point_id_col, "polygon_id"]]
+            if len(out):
+                yield out
+
+    return cand.mapInPandas(refine, refine_schema).dropDuplicates([point_id_col, "polygon_id"])

@@ -1,0 +1,168 @@
+"""Unit tests for geo/S2/hexgrid/PIP/R-tree kernels (no Spark)."""
+
+import numpy as np
+import pytest
+
+from osm_read_enhanced_spark.functions import hexgrid, s2
+from osm_read_enhanced_spark.functions.geo import (
+    haversine_np,
+    tile_bounds_np,
+    tile_xy_np,
+)
+from osm_read_enhanced_spark.functions.pip import (
+    points_in_polygon,
+    points_in_ring,
+    ring_area_deg2,
+)
+from osm_read_enhanced_spark.operators.rtree import STRtree
+
+rng = np.random.default_rng(42)
+
+
+def test_haversine_published_values():
+    # London (51.5007,-0.1246) ↔ Paris (48.8566,2.3522) ≈ 340.6-343 km
+    d = haversine_np([51.5007], [-0.1246], [48.8566], [2.3522])[0]
+    assert 339_000 < d < 345_000
+    # equator degree ≈ 111.19 km
+    d = haversine_np([0.0], [0.0], [0.0], [1.0])[0]
+    assert abs(d - 111_195) < 100
+    assert haversine_np([10.0], [20.0], [10.0], [20.0])[0] == 0.0
+
+
+def test_slippy_tile_published_values():
+    # standard slippy formula: lat 41.85, lon -87.65, z=15 → x=8405, y=12182
+    # (independently: ((-87.65+180)/360)*2^15 = 8405.90…,
+    #  (1-asinh(tan(41.85°))/π)/2*2^15 = 12182.39…)
+    x, y = tile_xy_np([41.85], [-87.65], 15)
+    assert (x[0], y[0]) == (8405, 12182)
+    # zoom 0 is a single tile
+    x, y = tile_xy_np([85.0, -85.0], [-179.9, 179.9], 0)
+    assert x.tolist() == [0, 0] and y.tolist() == [0, 0]
+
+
+def test_tile_bounds_roundtrip():
+    lat, lon = rng.uniform(-80, 80, 200), rng.uniform(-179, 179, 200)
+    for z in (3, 9, 15):
+        x, y = tile_xy_np(lat, lon, z)
+        w, s, e, n = tile_bounds_np(z, x, y)
+        assert np.all((lon >= w - 1e-9) & (lon <= e + 1e-9))
+        assert np.all((lat >= s - 1e-7) & (lat <= n + 1e-7))
+
+
+def test_s2_leaf_roundtrip():
+    lat, lon = rng.uniform(-89, 89, 2000), rng.uniform(-180, 180, 2000)
+    leaf = s2.s2_cell_id(lat, lon, level=30)
+    plat, plon = s2.cell_point_latlon(leaf)
+    assert haversine_np(lat, lon, plat, plon).max() < 0.02  # < 2 cm
+
+
+@pytest.mark.parametrize("level", [5, 10, 16])
+def test_s2_reencode_stability(level):
+    lat, lon = rng.uniform(-89, 89, 1000), rng.uniform(-180, 180, 1000)
+    c = s2.s2_cell_id(lat, lon, level=level)
+    assert np.all(s2.cell_level(c) == level)
+    rl, rn = s2.cell_point_latlon(c)
+    assert np.all(s2.s2_cell_id(rl, rn, level=level) == c)
+
+
+def test_s2_parent_containment():
+    lat, lon = rng.uniform(-89, 89, 1000), rng.uniform(-180, 180, 1000)
+    assert np.all(
+        s2.cell_parent(s2.s2_cell_id(lat, lon, 16), 10) == s2.s2_cell_id(lat, lon, 10)
+    )
+
+
+def test_s2_all_faces_covered():
+    lat = np.array([0, 0, 0, 0, 89.9, -89.9])
+    lon = np.array([0, 90, 180, -90, 0, 0])
+    f, _, _ = s2.xyz_to_face_uv(*s2.latlon_to_xyz(lat, lon))
+    assert set(f.tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_hex_center_distance_bound():
+    lat, lon = rng.uniform(-60, 60, 500), rng.uniform(-170, 170, 500)
+    for res in (7, 8, 9, 10):
+        c = hexgrid.hex_cell(lat, lon, res)
+        clat, clon = hexgrid.cell_center(c)
+        assert np.hypot(clat - lat, clon - lon).max() <= hexgrid.edge_deg(res) * 1.01
+
+
+def test_hex_kring_sizes():
+    c = hexgrid.hex_cell(np.array([10.0]), np.array([20.0]), 8)
+    for k in (1, 2, 3):
+        ring = hexgrid.kring_cells(c, k=k)
+        assert ring.shape == (1, 1 + 3 * k * (k + 1))
+        assert len(np.unique(ring)) == ring.shape[1]
+
+
+def test_hex_polyfill_covers_interior():
+    sq_lat = np.array([0.0, 0.0, 0.5, 0.5])
+    sq_lon = np.array([0.0, 0.5, 0.5, 0.0])
+    cells = hexgrid.polyfill(sq_lat, sq_lon, 8)
+    p_lat = rng.uniform(0.01, 0.49, 300)
+    p_lon = rng.uniform(0.01, 0.49, 300)
+    assert np.all(np.isin(hexgrid.hex_cell(p_lat, p_lon, 8), cells))
+
+
+def test_pip_vs_independent_raycast():
+    ring_lat = np.array([0, 0, 2, 2, 1, 1, 3, 3], dtype=float)
+    ring_lon = np.array([0, 3, 3, 2, 2, 1, 1, 0], dtype=float)
+    pts_lat = rng.uniform(-0.5, 3.5, 1000)
+    pts_lon = rng.uniform(-0.5, 3.5, 1000)
+
+    def pip1(y, x):
+        c = False
+        n = len(ring_lat)
+        for i in range(n):
+            y1, x1 = ring_lat[i], ring_lon[i]
+            y2, x2 = ring_lat[(i + 1) % n], ring_lon[(i + 1) % n]
+            if (y1 > y) != (y2 > y) and x < x1 + (y - y1) / (y2 - y1) * (x2 - x1):
+                c = not c
+        return c
+
+    got = points_in_ring(pts_lat, pts_lon, ring_lat, ring_lon)
+    want = np.array([pip1(pts_lat[i], pts_lon[i]) for i in range(1000)])
+    assert np.array_equal(got, want)
+
+
+def test_pip_holes():
+    outer = (np.array([0.0, 0, 1, 1]), np.array([0.0, 1, 1, 0]))
+    hole = (np.array([0.25, 0.25, 0.75, 0.75]), np.array([0.25, 0.75, 0.75, 0.25]))
+    m = points_in_polygon(
+        np.array([0.5, 0.1]), np.array([0.5, 0.1]), outer[0], outer[1], holes=[hole]
+    )
+    assert m.tolist() == [False, True]
+
+
+def test_ring_area_orientation():
+    ccw = ring_area_deg2(np.array([0.0, 0, 1]), np.array([0.0, 1, 0]))
+    cw = ring_area_deg2(np.array([0.0, 1, 0]), np.array([0.0, 0, 1]))
+    assert ccw == -cw and abs(ccw) == 0.5
+
+
+def test_strtree_matches_bruteforce():
+    boxes = np.empty((200, 4))
+    boxes[:, 0] = rng.uniform(-10, 10, 200)
+    boxes[:, 1] = rng.uniform(-10, 10, 200)
+    boxes[:, 2] = boxes[:, 0] + rng.uniform(0.1, 3, 200)
+    boxes[:, 3] = boxes[:, 1] + rng.uniform(0.1, 3, 200)
+    tree = STRtree(boxes, leaf_size=8)
+    xs, ys = rng.uniform(-12, 14, 300), rng.uniform(-12, 14, 300)
+    pi, bi = tree.query_points(xs, ys)
+    got = set(zip(pi.tolist(), bi.tolist()))
+    want = {
+        (p, b)
+        for p in range(300)
+        for b in range(200)
+        if boxes[b, 0] <= xs[p] <= boxes[b, 2] and boxes[b, 1] <= ys[p] <= boxes[b, 3]
+    }
+    assert got == want
+
+
+def test_strtree_empty_and_single():
+    t = STRtree(np.empty((0, 4)))
+    pi, bi = t.query_points(np.array([1.0]), np.array([1.0]))
+    assert len(pi) == 0
+    t1 = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
+    assert t1.query_point(0.5, 0.5).tolist() == [0]
+    assert t1.query_point(2.0, 2.0).tolist() == []

@@ -1,0 +1,187 @@
+"""Spark integration tests: way assembly, polygon layer, PIP joins
+(broadcast R-tree vs cell equi-join vs brute force), kNN, tiles."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_read_enhanced_spark.operators.knn import knn_bruteforce, knn_join
+from osm_read_enhanced_spark.operators.polygons import (
+    assemble_way_geometries,
+    build_polygon_layer,
+    closed_way_polygons,
+    relation_multipolygons,
+)
+from osm_read_enhanced_spark.operators.spatial_join import (
+    pip_join_broadcast,
+    pip_join_cells,
+)
+from osm_read_enhanced_spark.operators.tiles import assign_tiles, tile_stats
+from osm_read_enhanced_spark.functions.pip import points_in_ring
+
+rng = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def osm_dfs(spark):
+    """Tiny OSM-like tables: a square landuse way + triangle + open way."""
+    nodes = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0, {}),
+            (2, 0.0, 1.0, {}),
+            (3, 1.0, 1.0, {}),
+            (4, 1.0, 0.0, {}),
+            (5, 2.0, 2.0, {}),
+            (6, 2.0, 3.0, {}),
+            (7, 3.0, 2.5, {}),
+            (8, 5.0, 5.0, {}),
+        ],
+        "id long, lat double, lon double, tags map<string,string>",
+    )
+    ways = spark.createDataFrame(
+        [
+            (100, [1, 2, 3, 4, 1], {"landuse": "farm"}),
+            (101, [5, 6, 7, 5], {"landuse": "forest"}),
+            (102, [1, 8], {"highway": "road"}),  # open way
+        ],
+        "id long, refs array<long>, tags map<string,string>",
+    )
+    return nodes, ways
+
+
+def test_way_assembly_preserves_ref_order(spark, osm_dfs):
+    nodes, ways = osm_dfs
+    geoms = assemble_way_geometries(ways, nodes).orderBy("way_id").collect()
+    sq = [g for g in geoms if g.way_id == 100][0]
+    assert sq.lats == [0.0, 0.0, 1.0, 1.0, 0.0]
+    assert sq.lons == [0.0, 1.0, 1.0, 0.0, 0.0]
+    road = [g for g in geoms if g.way_id == 102][0]
+    assert (road.lats, road.lons) == ([0.0, 5.0], [0.0, 5.0])
+
+
+def test_closed_way_polygons(spark, osm_dfs):
+    nodes, ways = osm_dfs
+    polys = closed_way_polygons(
+        assemble_way_geometries(ways, nodes), kinds=["landuse"]
+    ).collect()
+    assert sorted(p.polygon_id for p in polys) == [100, 101]
+    sq = [p for p in polys if p.polygon_id == 100][0]
+    assert len(sq.lats) == 4  # closing vertex dropped
+
+
+@pytest.fixture(scope="module")
+def pip_setup(spark, osm_dfs):
+    nodes, ways = osm_dfs
+    polys = closed_way_polygons(assemble_way_geometries(ways, nodes), kinds=["landuse"])
+    layer = build_polygon_layer(polys, cover_res=7).cache()
+    pts = [
+        (int(i), float(lat), float(lon))
+        for i, (lat, lon) in enumerate(
+            zip(rng.uniform(-0.5, 3.5, 400), rng.uniform(-0.5, 3.5, 400))
+        )
+    ]
+    points = spark.createDataFrame(pts, "point_id long, lat double, lon double").cache()
+    return points, layer, pts
+
+
+def _expected_pairs(pts):
+    sq_la = np.array([0.0, 0.0, 1.0, 1.0])
+    sq_lo = np.array([0.0, 1.0, 1.0, 0.0])
+    tr_la = np.array([2.0, 2.0, 3.0])
+    tr_lo = np.array([2.0, 3.0, 2.5])
+    lat = np.array([p[1] for p in pts])
+    lon = np.array([p[2] for p in pts])
+    want = set()
+    for pid, m in ((100, points_in_ring(lat, lon, sq_la, sq_lo)),
+                   (101, points_in_ring(lat, lon, tr_la, tr_lo))):
+        for i in np.flatnonzero(m):
+            want.add((pts[i][0], pid))
+    return want
+
+
+def test_pip_broadcast_matches_bruteforce(spark, pip_setup):
+    points, layer, pts = pip_setup
+    got = {
+        (r.point_id, r.polygon_id)
+        for r in pip_join_broadcast(points, layer).collect()
+    }
+    assert got == _expected_pairs(pts)
+
+
+def test_pip_cells_matches_broadcast(spark, pip_setup):
+    points, layer, pts = pip_setup
+    got = {
+        (r.point_id, r.polygon_id)
+        for r in pip_join_cells(points, layer, res=7).collect()
+    }
+    assert got == _expected_pairs(pts)
+
+
+def test_pip_cells_salted_same_result(spark, pip_setup):
+    points, layer, pts = pip_setup
+    got = {
+        (r.point_id, r.polygon_id)
+        for r in pip_join_cells(points, layer, res=7, salt_buckets=4).collect()
+    }
+    assert got == _expected_pairs(pts)
+
+
+def test_knn_ring_matches_bruteforce_when_dense(spark):
+    # clustered points: 1-ring at res 7 (~5 km hexes here) covers k=3 easily
+    n = 120
+    lat = 10.0 + rng.uniform(-0.02, 0.02, n)
+    lon = 20.0 + rng.uniform(-0.02, 0.02, n)
+    df = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(n)],
+        "point_id long, lat double, lon double",
+    ).cache()
+    right = df.select(
+        F.col("point_id").alias("neighbor_id"), "lat", "lon"
+    )
+    a = knn_join(df, right, k=3, res=7, ring=1).orderBy("point_id", "rank").collect()
+    b = knn_bruteforce(df, right, k=3).orderBy("point_id", "rank").collect()
+    assert [(r.point_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.point_id, r.neighbor_id, r.rank) for r in b
+    ]
+    assert np.allclose([r.dist_m for r in a], [r.dist_m for r in b])
+
+
+def test_tile_assignment_and_stats(spark):
+    df = spark.createDataFrame(
+        [(1, 41.85, -87.65), (2, 41.85, -87.65), (3, -33.86, 151.21)],
+        "point_id long, lat double, lon double",
+    )
+    tiled = assign_tiles(df, zooms=(15,))
+    rows = {r.point_id: (r.z, r.x, r.y) for r in tiled.collect()}
+    assert rows[1] == (15, 8405, 12182)
+    assert rows[1] == rows[2]
+    stats = {(r.z, r.x, r.y): r.n_points for r in tile_stats(tiled).collect()}
+    assert stats[(15, 8405, 12182)] == 2
+
+
+def test_relation_multipolygon_stitching(spark):
+    # two open ways forming one square outer ring, reversed direction case
+    nodes = spark.createDataFrame(
+        [(1, 0.0, 0.0, {}), (2, 0.0, 1.0, {}), (3, 1.0, 1.0, {}), (4, 1.0, 0.0, {})],
+        "id long, lat double, lon double, tags map<string,string>",
+    )
+    ways = spark.createDataFrame(
+        [(201, [1, 2, 3], {}), (202, [1, 4, 3], {})],  # second needs reversal
+        "id long, refs array<long>, tags map<string,string>",
+    )
+    rels = spark.createDataFrame(
+        [
+            (
+                900,
+                {"type": "boundary", "boundary": "administrative"},
+                [(201, "outer", 1), (202, "outer", 1)],
+            )
+        ],
+        "id long, tags map<string,string>, members array<struct<ref:long,role:string,type:int>>",
+    )
+    geoms = assemble_way_geometries(ways, nodes)
+    rings = relation_multipolygons(rels, geoms).collect()
+    assert len(rings) == 1
+    r = rings[0]
+    assert r.polygon_id == 900 and r.role == "outer"
+    assert sorted(zip(r.lats, r.lons)) == [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)]
