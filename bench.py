@@ -1,0 +1,191 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The primary metric is the north-rule one: spatial-join + tile-assignment
+rows/sec (PIP against the deterministic admin squares + z12 tile
+rollup over synthesized geotags), reported alongside per-query wall
+times for the relational/dedup/decode heads.
+
+Run `python bench.py --scaling` to measure the same job at two
+parallelism levels (local[8] vs local[32]) and report scaling
+efficiency (the sandbox stand-in for N vs 4N executors — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_join_agg",
+    "q06_window_topk",
+    "q13_collect_ordered",
+    "q19_tile_assign",
+    "q21_bbox_pip",
+    "q25_exact_dedup",
+    "q26_token_count",
+    "q34_windowed_events",
+]
+
+
+def _spark(cores: int):
+    from osm_read_enhanced_spark.session import get_spark
+
+    return get_spark(
+        f"bench-{cores}",
+        cores=cores,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+
+def run_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
+    from osm_read_enhanced_spark.plans.queries import QUERIES
+
+    t0 = time.time()
+    n = QUERIES[name].fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def spatial_pipeline_rows_per_sec(spark, sf_dir: str) -> tuple[float, float, int]:
+    """North-rule metric: points → PIP(broadcast R-tree vs admin squares)
+    + z12/z15 tile assignment → rollup; rows/sec over input points."""
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.spatial_join import pip_join_broadcast
+    from osm_read_enhanced_spark.operators.tiles import assign_tiles
+    from osm_read_enhanced_spark.plans.queries import _lat, _lon, _t
+
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    # scale the point set with the sf: one point per lineitem row
+    pts = li.select(
+        F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("k2"), "l_linenumber"
+    ).select(
+        (F.col("k1") * 10 + F.col("l_linenumber")).alias("point_id"),
+        _lat(F.col("k1") * 7 + F.col("k2")).alias("lat"),
+        _lon(F.col("k1") * 7 + F.col("k2")).alias("lon"),
+    )
+    n_points = pts.count()
+    r = _t(spark, sf_dir, "region")
+    polys = r.select(
+        F.col("r_regionkey").cast("long").alias("polygon_id"),
+        F.array(
+            (-60.0 + F.col("r_regionkey") * 25.0),
+            (-60.0 + F.col("r_regionkey") * 25.0),
+            (-60.0 + F.col("r_regionkey") * 25.0 + 20.0),
+            (-60.0 + F.col("r_regionkey") * 25.0 + 20.0),
+        ).alias("lats"),
+        F.array(
+            (-150.0 + F.col("r_regionkey") * 55.0),
+            (-150.0 + F.col("r_regionkey") * 55.0 + 45.0),
+            (-150.0 + F.col("r_regionkey") * 55.0 + 45.0),
+            (-150.0 + F.col("r_regionkey") * 55.0),
+        ).alias("lons"),
+    )
+    t0 = time.time()
+    pip = pip_join_broadcast(pts, polys)
+    tiled = assign_tiles(pts, zooms=(12, 15))
+    out = (
+        pip.join(tiled, "point_id")
+        .groupBy("polygon_id", "z", "x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+    out.count()
+    wall = time.time() - t0
+    return wall, n_points / wall, n_points
+
+
+def pbf_decode_rows_per_sec(spark, n_blocks: int = 32) -> tuple[float, float, int]:
+    """Decode throughput on a generated multi-block PBF (the graft
+    subsystem's own head-to-head vs the reference's elements/sec)."""
+    from osm_read_enhanced_spark.fixtures import build_scale_pbf
+    from osm_read_enhanced_spark.sources.pbf import read_pbf
+
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "bench.pbf")
+    info = build_scale_pbf(path, n_blocks=n_blocks, nodes_per_block=8000, ways_per_block=400)
+    n_elements = info["nodes"] + info["ways"]
+    t0 = time.time()
+    dfs = read_pbf(spark, path)
+    n = dfs["nodes"].count() + dfs["ways"].count()
+    wall = time.time() - t0
+    assert n == n_elements, (n, n_elements)
+    return wall, n_elements / wall, n_elements
+
+
+def run_suite(cores: int, sf_dir: str) -> dict:
+    spark = _spark(cores)
+    # warm up JVM codegen + Python workers so measurements reflect
+    # steady-state throughput, not session spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+    from osm_read_enhanced_spark.plans.queries import QUERIES
+
+    QUERIES["q36_image_decode_stats"].fn(spark, sf_dir).count()
+    queries = {}
+    for name in HEADLINE:
+        wall, _ = run_query(spark, name, sf_dir)
+        queries[name] = round(wall, 3)
+    sp_wall, sp_rps, sp_n = spatial_pipeline_rows_per_sec(spark, sf_dir)
+    queries["spatial_pipeline"] = round(sp_wall, 3)
+    pb_wall, pb_eps, pb_n = pbf_decode_rows_per_sec(spark)
+    queries["pbf_decode"] = round(pb_wall, 3)
+    spark.stop()
+    return {
+        "queries": queries,
+        "spatial_rows_per_sec": round(sp_rps, 1),
+        "spatial_points": sp_n,
+        "pbf_elements_per_sec": round(pb_eps, 1),
+        "total_sec": round(sum(queries.values()), 3),
+    }
+
+
+def main():
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_suite(lo, SF_DIR)
+        r_hi = run_suite(hi, SF_DIR)
+        eff = (r_lo["total_sec"] / r_hi["total_sec"]) / (hi / lo)
+        out = {
+            "metric": "headline suite wall (scaling: local[8] vs local[32])",
+            "value": r_hi["total_sec"],
+            "unit": "sec",
+            "queries": r_hi["queries"],
+            "sf": sf,
+            "scaling": {
+                "cores_lo": lo,
+                "cores_hi": hi,
+                "total_sec_lo": r_lo["total_sec"],
+                "total_sec_hi": r_hi["total_sec"],
+                "spatial_rows_per_sec_lo": r_lo["spatial_rows_per_sec"],
+                "spatial_rows_per_sec_hi": r_hi["spatial_rows_per_sec"],
+                "efficiency": round(eff, 3),
+            },
+        }
+    else:
+        r = run_suite(CPUS, SF_DIR)
+        out = {
+            "metric": "spatial-join + tile-assignment rows/sec (headline suite attached)",
+            "value": r["spatial_rows_per_sec"],
+            "unit": "rows/sec",
+            "queries": r["queries"],
+            "sf": sf,
+            "pbf_elements_per_sec": r["pbf_elements_per_sec"],
+            "total_sec": r["total_sec"],
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

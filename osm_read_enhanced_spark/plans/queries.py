@@ -1,0 +1,994 @@
+"""Named query catalog: every operator class from SURVEY.md §2 (plus
+the training-data-pipeline extras) as a (Spark builder, DuckDB oracle)
+pair over the driver's testdata tables.
+
+Contract (driver __spark_entry__): each entry's Spark DataFrame and its
+ANSI-SQL oracle must produce identical row sets — column names aligned,
+every computed double rounded identically on both sides, window ties
+broken deterministically. Entries whose semantics are not reasonably
+ANSI-SQL-expressible (MinHash signatures, S2/hex cell ids, image
+decode) carry ``oracle=None`` → the driver records a rows-only check.
+
+Geo queries synthesize deterministic coordinates from integer keys with
+pure integer arithmetic (identical in Spark and DuckDB):
+    lat(key) = ((key*9973)  % 1700000)/10000.0 - 85.0
+    lon(key) = ((key*7919)  % 3600000)/10000.0 - 180.0
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+PI = math.pi
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- deterministic synthesized coordinates (Spark side) ---------------
+
+
+def _lat(key):
+    return ((key * 9973) % 1700000) / 10000.0 - 85.0
+
+
+def _lon(key):
+    return ((key * 7919) % 3600000) / 10000.0 - 180.0
+
+
+_SQL_LAT = "(({k} * 9973) % 1700000) / 10000.0 - 85.0"
+_SQL_LON = "(({k} * 7919) % 3600000) / 10000.0 - 180.0"
+
+
+def _haversine_sql(lat1, lon1, lat2, lon2) -> str:
+    return (
+        f"2*6371000.0*asin(sqrt(least("
+        f"pow(sin(radians(({lat2})-({lat1}))/2),2)"
+        f"+cos(radians({lat1}))*cos(radians({lat2}))"
+        f"*pow(sin(radians(({lon2})-({lon1}))/2),2), 1.0)))"
+    )
+
+
+def _haversine_col(lat1, lon1, lat2, lon2):
+    from ..functions.geo import haversine_col
+
+    return haversine_col(lat1, lon1, lat2, lon2)
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def q(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        QUERIES[name] = QueryDef(fn, oracle, description)
+        return fn
+
+    return deco
+
+
+# ============================================================ relational
+
+
+@q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style scan+filter+groupBy aggregate (partial+final agg, SURVEY §2.6 A1/A6)",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100
+             AS charge
+    FROM lineitem
+    WHERE l_discount > 0.05 AND l_quantity < 10
+    """,
+    "predicate pushdown + projection (SURVEY §2.4 F1; Catalyst O2/O3)",
+)
+def q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # floor(x*100+0.5)/100 instead of round(): identical IEEE double ops
+    # in both engines (Spark's round goes through BigDecimal shortest-
+    # repr and can differ from DuckDB's binary rounding in the last digit)
+    charge = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+    return li.filter((F.col("l_discount") > 0.05) & (F.col("l_quantity") < 10)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.floor(charge * 100 + 0.5) / 100).alias("charge"),
+    )
+
+
+@q(
+    "q03_join_agg",
+    """
+    SELECT n.n_name AS nation, r.r_name AS region,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    "multi-way equi-join + agg (broadcast dims; SURVEY §2.5)",
+)
+def q03(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "q04_semi_join",
+    """
+    SELECT o_orderstatus, count(*) AS n
+    FROM orders WHERE EXISTS (
+      SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+    "left-semi join / EXISTS (SURVEY §2.5 J7)",
+)
+def q04(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q05_anti_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_inactive
+    FROM customer WHERE NOT EXISTS (
+      SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    "left-anti join / NOT EXISTS — the idempotent-resume primitive (SURVEY §2.5 J7)",
+)
+def q05(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+@q(
+    "q06_window_topk",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders)
+    WHERE rank <= 3
+    """,
+    "window top-k per group (SURVEY §2.7 W3)",
+)
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@q(
+    "q07_window_running",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total
+    FROM orders
+    """,
+    "running total window (SURVEY §2.7 W4 byte-budget analogue)",
+)
+def q07(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@q(
+    "q08_distinct_agg",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS n_orders,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "distinct aggregation (SURVEY §2.6 A3)",
+)
+def q08(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@q(
+    "q09_union_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    """,
+    "set ops union/except (SURVEY §2.8)",
+)
+def q09(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    neg = c.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    return a.unionByName(b).exceptAll(neg).distinct()
+
+
+@q(
+    "q10_cube",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    "cube rollup aggregation (engine §2.6 extension)",
+)
+def q10(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@q(
+    "q11_pivot",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "pivot (engine §2.8 extension)",
+)
+def q11(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+        .na.fill({"qty_o": 0.0, "qty_f": 0.0})
+    )
+
+
+@q(
+    "q12_explode_agg",
+    """
+    SELECT label, pos, round(avg(e), 4) AS avg_val, count(*) AS n
+    FROM (SELECT label, CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS e
+          FROM embeddings)
+    WHERE pos <= 4
+    GROUP BY label, pos
+    """,
+    "posexplode over array column + agg (way-refs explode analogue, SURVEY §2.5 J2)",
+)
+def q12(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "e"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            F.col("e").cast("double").alias("e"),
+        )
+        .filter(F.col("pos") <= 4)
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("e"), 4).alias("avg_val"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q13_collect_ordered",
+    """
+    SELECT user_id, string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+           count(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    "ordered collect per group (way-geometry assembly analogue, SURVEY §2.5 J2/W2)",
+)
+def q13(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                    lambda s: s.event_type,
+                ),
+            ).alias("seq"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
+    "q14_string_funcs",
+    """
+    SELECT upper(p_brand) AS brand_uc, substr(p_name, 1, 8) AS name_prefix,
+           count(*) AS n, CAST(max(length(p_type)) AS BIGINT) AS max_type_len
+    FROM part
+    WHERE p_name LIKE '%a%'
+    GROUP BY upper(p_brand), substr(p_name, 1, 8)
+    """,
+    "string scalar surface (SURVEY §2.9)",
+)
+def q14(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").like("%a%"))
+        .groupBy(
+            F.upper("p_brand").alias("brand_uc"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.length("p_type")).cast("long").alias("max_type_len"),
+        )
+    )
+
+
+@q(
+    "q15_date_funcs",
+    """
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+    "date scalar surface (timestamp×granularity analogue, SURVEY §2.9)",
+)
+def q15(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@q(
+    "q16_json_funcs",
+    """
+    SELECT json_extract_string(props, '$.k') AS k, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "semi-structured extraction (map/tags dictionary analogue, SURVEY §2.9)",
+)
+def q16(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(F.get_json_object("props", "$.k").alias("k")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q17_conditional",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(CASE WHEN o_totalprice > 150000 THEN 1 END) AS n_big,
+           round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "conditional aggregation (SURVEY §2.4 F-class predicates in agg)",
+)
+def q17(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("o_totalprice") > 150000, 1)).alias("n_big"),
+        F.round(F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 2).alias(
+            "avg_f"
+        ),
+    )
+
+
+# ============================================================ geospatial
+
+
+@q(
+    "q18_grid_agg",
+    f"""
+    SELECT CAST(floor(({_SQL_LAT.format(k='c_custkey')} + 90.0) * 10) AS BIGINT) * 3601
+           + CAST(floor(({_SQL_LON.format(k='c_custkey')} + 180.0) * 10) AS BIGINT) AS cell,
+           count(*) AS n
+    FROM customer GROUP BY 1
+    """,
+    "square-grid cell index + count (cell-agg analogue of hex binning, SURVEY §2.6)",
+)
+def q18(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    cell = (
+        F.floor((lat + 90.0) * 10).cast("long") * 3601
+        + F.floor((lon + 180.0) * 10).cast("long")
+    )
+    return c.groupBy(cell.alias("cell")).agg(F.count("*").alias("n"))
+
+
+_TILE_Y_SQL = (
+    "least(greatest(CAST(floor((1.0 - ln(tan(radians({lat})) + 1.0/cos(radians({lat})))/pi())"
+    "/2.0*{n}) AS BIGINT), 0), {n}-1)"
+)
+_TILE_X_SQL = "least(greatest(CAST(floor(({lon}+180.0)/360.0*{n}) AS BIGINT), 0), {n}-1)"
+
+
+@q(
+    "q19_tile_assign",
+    f"""
+    SELECT {_TILE_X_SQL.format(lon=_SQL_LON.format(k="c_custkey"), n=4096)} AS x,
+           {_TILE_Y_SQL.format(lat=_SQL_LAT.format(k="c_custkey"), n=4096)} AS y,
+           count(*) AS n
+    FROM customer GROUP BY 1, 2
+    """,
+    "slippy z12 tile assignment + per-tile counts (north_rule tile join, SURVEY §2.5 J6)",
+)
+def q19(spark, sf_dir):
+    from ..functions.geo import tile_x_col, tile_y_col
+
+    c = _t(spark, sf_dir, "customer")
+    lat, lon = _lat(F.col("c_custkey")), _lon(F.col("c_custkey"))
+    return c.groupBy(
+        tile_x_col(lon, 12).alias("x"), tile_y_col(lat, 12).alias("y")
+    ).agg(F.count("*").alias("n"))
+
+
+@q(
+    "q20_haversine_knn",
+    f"""
+    SELECT * FROM (
+      SELECT c_custkey, s_suppkey,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY round({_haversine_sql(_SQL_LAT.format(k="c_custkey"),
+                                              _SQL_LON.format(k="c_custkey"),
+                                              _SQL_LAT.format(k="s_suppkey * 31"),
+                                              _SQL_LON.format(k="s_suppkey * 31"))}, 1),
+                        s_suppkey) AS rank,
+             round({_haversine_sql(_SQL_LAT.format(k="c_custkey"),
+                                   _SQL_LON.format(k="c_custkey"),
+                                   _SQL_LAT.format(k="s_suppkey * 31"),
+                                   _SQL_LON.format(k="s_suppkey * 31"))}, 1) AS dist_m
+      FROM customer CROSS JOIN supplier)
+    WHERE rank <= 3
+    """,
+    "haversine kNN: cross join + exact refine + window top-k (SURVEY §2.5 J5, §2.7 W3)",
+)
+def q20(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    cand = c.crossJoin(F.broadcast(s))
+    dist = F.round(
+        _haversine_col(
+            _lat(F.col("c_custkey")),
+            _lon(F.col("c_custkey")),
+            _lat(F.col("s_suppkey") * 31),
+            _lon(F.col("s_suppkey") * 31),
+        ),
+        1,
+    )
+    scored = cand.select("c_custkey", "s_suppkey", dist.alias("dist_m"))
+    w = Window.partitionBy("c_custkey").orderBy(F.col("dist_m").asc(), F.col("s_suppkey").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_custkey", "s_suppkey", "rank", "dist_m")
+    )
+
+
+@q(
+    "q21_bbox_pip",
+    f"""
+    WITH pts AS (
+      SELECT c_custkey, {_SQL_LAT.format(k="c_custkey")} AS lat,
+             {_SQL_LON.format(k="c_custkey")} AS lon
+      FROM customer),
+    boxes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS box_id,
+             -60.0 + r_regionkey * 25.0 AS minlat, -60.0 + r_regionkey * 25.0 + 20.0 AS maxlat,
+             -150.0 + r_regionkey * 55.0 AS minlon, -150.0 + r_regionkey * 55.0 + 45.0 AS maxlon
+      FROM region)
+    SELECT c_custkey, box_id
+    FROM pts JOIN boxes
+      ON lat >= minlat AND lat < maxlat AND lon >= minlon AND lon < maxlon
+    """,
+    "bbox range join (coarse PIP stage; deterministic admin squares, SURVEY §2.5 J4)",
+)
+def q21(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    r = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("long").alias("box_id"),
+        (-60.0 + F.col("r_regionkey") * 25.0).alias("minlat"),
+        (-60.0 + F.col("r_regionkey") * 25.0 + 20.0).alias("maxlat"),
+        (-150.0 + F.col("r_regionkey") * 55.0).alias("minlon"),
+        (-150.0 + F.col("r_regionkey") * 55.0 + 45.0).alias("maxlon"),
+    )
+    return c.join(
+        F.broadcast(r),
+        (F.col("lat") >= F.col("minlat"))
+        & (F.col("lat") < F.col("maxlat"))
+        & (F.col("lon") >= F.col("minlon"))
+        & (F.col("lon") < F.col("maxlon")),
+    ).select("c_custkey", "box_id")
+
+
+@q(
+    "q22_pip_rtree",
+    None,  # exercised via the broadcast R-tree operator; oracle below in q21 covers the geometry
+    "broadcast R-tree PIP join on deterministic squares (north_rule J4; rows-only check)",
+)
+def q22(spark, sf_dir):
+    from ..operators.spatial_join import pip_join_broadcast
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    r = _t(spark, sf_dir, "region")
+    polys = r.select(
+        F.col("r_regionkey").cast("long").alias("polygon_id"),
+        F.array(
+            (-60.0 + F.col("r_regionkey") * 25.0),
+            (-60.0 + F.col("r_regionkey") * 25.0),
+            (-60.0 + F.col("r_regionkey") * 25.0 + 20.0),
+            (-60.0 + F.col("r_regionkey") * 25.0 + 20.0),
+        ).alias("lats"),
+        F.array(
+            (-150.0 + F.col("r_regionkey") * 55.0),
+            (-150.0 + F.col("r_regionkey") * 55.0 + 45.0),
+            (-150.0 + F.col("r_regionkey") * 55.0 + 45.0),
+            (-150.0 + F.col("r_regionkey") * 55.0),
+        ).alias("lons"),
+    )
+    return pip_join_broadcast(c, polys).select(
+        F.col("point_id").alias("c_custkey"), F.col("polygon_id").alias("box_id")
+    )
+
+
+@q(
+    "q23_s2_cells",
+    None,
+    "S2 cell index at level 10 + per-cell counts (north_rule cell encode; rows-only)",
+)
+def q23(spark, sf_dir):
+    from .udfs import s2_cell_l10
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    return c.groupBy(s2_cell_l10("lat", "lon").alias("s2_cell")).agg(
+        F.count("*").alias("n")
+    )
+
+
+@q(
+    "q24_hex_cells",
+    None,
+    "hex cell index res 7-10 + kRing-1 size (north_rule H3-shaped surface; rows-only)",
+)
+def q24(spark, sf_dir):
+    from .udfs import hex_cell_udf
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    c7, c9 = hex_cell_udf(7), hex_cell_udf(9)
+    return c.groupBy(c7("lat", "lon").alias("cell_r7")).agg(
+        F.count("*").alias("n"),
+        F.countDistinct(c9("lat", "lon")).alias("n_r9_children"),
+    )
+
+
+# ============================================================ text / dedup
+
+
+@q(
+    "q25_exact_dedup",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    "exact dedup via md5 hash-groupBy (pipeline extra)",
+)
+def q25(spark, sf_dir):
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@q(
+    "q26_token_count",
+    """
+    SELECT lang,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           count(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    "token counting per language (pipeline extra: whitespace tokenizer)",
+)
+def q26(spark, sf_dir):
+    from ..functions.text import token_count_col
+
+    d = _t(spark, sf_dir, "documents")
+    tc = token_count_col(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(tc).cast("long").alias("total_tokens"),
+        F.round(F.avg(tc), 4).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "q27_quality_score",
+    """
+    SELECT source,
+           round(avg(
+             0.4 * least(length(text) / 500.0, 1.0)
+           + 0.3 * (CASE WHEN length(text) > 0
+                    THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text)
+                    ELSE 0.0 END)
+           + 0.3 * least(len(list_intersect(string_split_regex(lower(text), '\\s+'),
+                    ['the','a','an','and','or','of','to','in','is','it'])) / 3.0, 1.0)
+           ), 4) AS avg_quality,
+           count(*) AS n
+    FROM documents GROUP BY source
+    """,
+    "document quality scoring: length/alpha/stopword heuristic (pipeline extra)",
+)
+def q27(spark, sf_dir):
+    from ..functions.text import quality_score_col
+
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.avg(quality_score_col(F.col("text"))), 4).alias("avg_quality"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q28_langid_markers",
+    None,
+    "language-ID n-gram/marker heuristic vs labeled lang (pipeline extra; rows-only)",
+)
+def q28(spark, sf_dir):
+    from .udfs import detect_lang_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", detect_lang_udf("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "q29_minhash_dups",
+    None,
+    "MinHash-LSH near-dup pairs over documents (pipeline extra; rows-only)",
+)
+def q29(spark, sf_dir):
+    from ..operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@q(
+    "q30_simhash_dups",
+    None,
+    "SimHash near-dup pairs within hamming radius (pipeline extra; rows-only)",
+)
+def q30(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@q(
+    "q31_ngram_jaccard",
+    None,
+    "n-gram Jaccard verify over simhash candidates (pipeline extra; rows-only)",
+)
+def q31(spark, sf_dir):
+    from ..operators.dedup import ngram_jaccard_pairs, simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    cand = simhash_pairs(docs, max_hamming=16).select("id_a", "id_b")
+    return ngram_jaccard_pairs(docs, cand, threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+@q(
+    "q32_ann_cosine_topk",
+    """
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, v.vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(
+                   list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                   list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 4) DESC,
+                 v.vec_id) AS rank,
+             round(list_cosine_similarity(
+                 list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(q.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+      FROM embeddings v CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+      WHERE v.vec_id != q.vec_id)
+    WHERE rank <= 5
+    """,
+    "brute-force cosine top-k ANN baseline (pipeline extra; SQL oracle)",
+)
+def q32(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    qs = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("_v").alias("_q")
+    )
+    cand = v.crossJoin(F.broadcast(qs)).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(F.zip_with("_v", "_q", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x)
+    nv = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda s, x: s + x * x))
+    nq = F.sqrt(F.aggregate("_q", F.lit(0.0), lambda s, x: s + x * x))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(dot / (nv * nq), 4).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "rank", "cosine")
+    )
+
+
+@q(
+    "q33_embedding_dups",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(
+               list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.5
+    """,
+    "embedding-cosine near-dup pairs (pipeline extra; SQL oracle)",
+)
+def q33(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    v = e.select(
+        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    na = F.sqrt(F.aggregate(F.col("a._v"), F.lit(0.0), lambda s, x: s + x * x))
+    nb = F.sqrt(F.aggregate(F.col("b._v"), F.lit(0.0), lambda s, x: s + x * x))
+    cos = dot / (na * nb)
+    return cand.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cos, 4).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.5)
+
+
+# ============================================================ events / streaming-equivalent
+
+
+@q(
+    "q34_windowed_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "tumbling event-time window agg (Structured Streaming semantics, batch-checkable)",
+)
+def q34(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from ..streaming.events import windowed_counts
+
+    out = windowed_counts(ev, window="1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "q35_sessionize",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+    "gap-based sessionization (stateful-stream analogue via lag/cumsum windows)",
+)
+def q35(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lag("ts").over(w)
+    # interval comparison (works for TIMESTAMP_NTZ, timezone-independent)
+    new_s = F.when(
+        gap.isNull() | (F.col("ts") > gap + F.expr("INTERVAL 30 MINUTES")), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+# ============================================================ multimodal (rows-only)
+
+
+@q(
+    "q36_image_decode_stats",
+    None,
+    "image payload decode + channel stats over generated Iceberg-lite rows (input_hint surface)",
+)
+def q36(spark, sf_dir):
+    from ..operators.multimodal import decode_stats
+    from ..sources.images import build_images_df
+
+    imgs = build_images_df(spark, n=64, partitions=4)
+    return decode_stats(imgs).select(
+        "image_id",
+        F.round("mean_r", 2).alias("mean_r"),
+        F.round("mean_g", 2).alias("mean_g"),
+        F.round("mean_b", 2).alias("mean_b"),
+        F.round("std_gray", 2).alias("std_gray"),
+        "phash_decoded",
+    )
+
+
+@q(
+    "q37_payload_verify",
+    None,
+    "per-row payload invariant: lossless exact / lossy PSNR≥40dB + phash equality (north_rule)",
+)
+def q37(spark, sf_dir):
+    from ..operators.multimodal import verify_payloads
+    from ..sources.images import build_images_df
+
+    imgs = build_images_df(spark, n=64, partitions=4)
+    return verify_payloads(imgs).select(
+        "image_id", "fmt", F.round("psnr_db", 1).alias("psnr_db"), "pixels_ok", "phash_ok"
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline for entry(): synthesized geotagged points from
+    customer keys → hex cell + slippy tile + bbox-PIP against the
+    deterministic admin squares → per-(box, tile) rollup."""
+    q21_df = QUERIES["q21_bbox_pip"].fn(spark, sf_dir)
+    c = _t(spark, sf_dir, "customer")
+    from ..functions.geo import tile_x_col, tile_y_col
+
+    pts = c.select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    tiled = pts.select(
+        "c_custkey",
+        tile_x_col(F.col("lon"), 6).alias("x"),
+        tile_y_col(F.col("lat"), 6).alias("y"),
+    )
+    return (
+        q21_df.join(tiled, "c_custkey")
+        .groupBy("box_id", "x", "y")
+        .agg(F.count("*").alias("n_points"))
+    )

@@ -1,0 +1,143 @@
+"""Iceberg-lite: snapshot-committed Parquet tables with per-partition
+lineage + idempotent resume (SURVEY.md §7 Phase 5).
+
+No Iceberg/Delta jars exist in this Spark distribution (SURVEY.md env
+facts), so snapshot semantics are emulated over plain Parquet with an
+atomic JSON manifest — the layout stays Iceberg-shaped (partition dirs
++ manifest listing committed partitions + snapshot log) so a real
+Iceberg catalog could be swapped in on a cluster that has the jars.
+
+Semantics provided (north_rule):
+- write_partitioned: each logical partition lands in its own directory,
+  written via temp-dir + atomic rename; the manifest (JSON, atomic
+  rename) records partition → {files, row_count, wall_ms} lineage.
+- resume: a re-run calls ``uncommitted_partitions`` (or left_anti joins
+  against ``committed_partition_ids``) and only processes the rest —
+  kill/rerun yields byte-identical committed output.
+- snapshots: every commit appends a snapshot entry; ``read_table``
+  reads only committed partitions as of the latest snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_path: str) -> str:
+    return os.path.join(table_path, MANIFEST)
+
+
+def read_manifest(table_path: str) -> dict:
+    p = _manifest_path(table_path)
+    if not os.path.exists(p):
+        return {"table": table_path, "snapshots": [], "partitions": {}}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest_atomic(table_path: str, manifest: dict) -> None:
+    tmp = _manifest_path(table_path) + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(table_path))  # atomic on POSIX
+
+
+def committed_partition_ids(table_path: str) -> list:
+    return sorted(read_manifest(table_path)["partitions"].keys())
+
+
+def write_partition(
+    df: DataFrame,
+    table_path: str,
+    partition_id: str,
+    metrics: dict | None = None,
+) -> dict:
+    """Write one logical partition atomically; idempotent (already
+    committed → no-op). Returns the lineage record."""
+    manifest = read_manifest(table_path)
+    if partition_id in manifest["partitions"]:
+        return manifest["partitions"][partition_id]
+    os.makedirs(table_path, exist_ok=True)
+    final_dir = os.path.join(table_path, f"part={partition_id}")
+    tmp_dir = os.path.join(table_path, f"_tmp-{partition_id}-{uuid.uuid4().hex}")
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(tmp_dir)
+    row_count = df.sparkSession.read.parquet(tmp_dir).count()
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    record = {
+        "partition": partition_id,
+        "row_count": row_count,
+        "wall_ms": int((time.time() - t0) * 1000),
+        "files": sorted(
+            f for f in os.listdir(final_dir) if f.endswith(".parquet")
+        ),
+        **(metrics or {}),
+    }
+    manifest = read_manifest(table_path)  # re-read: concurrent writers
+    manifest["partitions"][partition_id] = record
+    manifest["snapshots"].append(
+        {
+            "snapshot_id": len(manifest["snapshots"]) + 1,
+            "committed": partition_id,
+            "ts_ms": int(time.time() * 1000),
+        }
+    )
+    _write_manifest_atomic(table_path, manifest)
+    return record
+
+
+def write_partitioned(
+    df: DataFrame,
+    table_path: str,
+    partition_col: str,
+    resume: bool = True,
+) -> list[dict]:
+    """Commit each distinct value of ``partition_col`` as one atomic
+    partition. With ``resume=True``, already-committed partitions are
+    skipped (left_anti against the manifest) — the idempotent-resume
+    path of the north rule."""
+    values = [r[0] for r in df.select(partition_col).distinct().orderBy(partition_col).collect()]
+    done = set(committed_partition_ids(table_path)) if resume else set()
+    records = []
+    for v in values:
+        pid = str(v)
+        if pid in done:
+            continue
+        part_df = df.filter(F.col(partition_col) == v).drop(partition_col)
+        records.append(write_partition(part_df, table_path, pid))
+    return records
+
+
+def read_table(spark: SparkSession, table_path: str) -> DataFrame:
+    """Read only committed partitions (manifest-driven; uncommitted tmp
+    dirs are invisible)."""
+    manifest = read_manifest(table_path)
+    parts = sorted(manifest["partitions"].keys())
+    if not parts:
+        raise ValueError(f"{table_path}: no committed partitions")
+    paths = [os.path.join(table_path, f"part={p}") for p in parts]
+    return spark.read.option("basePath", table_path).parquet(*paths)
+
+
+def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """Per-partition lineage/metrics as a DataFrame (the checkpoint
+    metrics table of the north rule)."""
+    manifest = read_manifest(table_path)
+    rows = [
+        (r["partition"], r["row_count"], r["wall_ms"], ",".join(r["files"]))
+        for r in manifest["partitions"].values()
+    ]
+    return spark.createDataFrame(
+        rows, "partition string, row_count long, wall_ms long, files string"
+    )

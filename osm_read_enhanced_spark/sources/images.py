@@ -1,0 +1,123 @@
+"""Synthetic Iceberg-lite image+caption table (BASELINE.json input_hint:
+image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64 — plus lat/lon geotags).
+
+Deterministic (seed folded from image index), generated distributedly:
+``spark.range`` → one Arrow batch per task renders, encodes, and hashes
+its images — the generator itself scales like the engine (no driver
+loop). Geotags are a mixture of world-uniform + a dense urban cluster
+so the dense-city skew path (salting + AQE skew join) is actually
+exercised (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..functions import codecs
+
+IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), False),
+        T.StructField("lon", T.DoubleType(), False),
+    ]
+)
+
+# the dense cluster ("urban core") that produces hot cells
+CLUSTER_LAT, CLUSTER_LON, CLUSTER_FRAC, CLUSTER_SIGMA = 51.5074, -0.1078, 0.4, 0.02
+
+_FMTS = ("ppm", "bmp", "png", "dct")
+
+
+def render_image(idx: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """Deterministic smooth-ish RGB pattern f(idx): gradients + a moving
+    disc — compressible, realistic for the DCT path."""
+    rng = np.random.default_rng(42 + idx)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.empty((h, w, 3), dtype=np.float64)
+    fx, fy = rng.uniform(0.5, 3, 2)
+    base[..., 0] = 128 + 100 * np.sin(2 * np.pi * fx * xx / w)
+    base[..., 1] = 128 + 100 * np.cos(2 * np.pi * fy * yy / h)
+    base[..., 2] = (xx + yy) * 255.0 / (w + h)
+    cx, cy, r = rng.uniform(4, w - 4), rng.uniform(4, h - 4), rng.uniform(3, 8)
+    disc = ((xx - cx) ** 2 + (yy - cy) ** 2) < r**2
+    base[disc] = rng.uniform(0, 255, 3)
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def geotag(idx: int) -> tuple[float, float]:
+    rng = np.random.default_rng(1042 + idx)
+    if rng.uniform() < CLUSTER_FRAC:
+        return (
+            float(CLUSTER_LAT + rng.normal(0, CLUSTER_SIGMA)),
+            float(CLUSTER_LON + rng.normal(0, CLUSTER_SIGMA)),
+        )
+    return float(rng.uniform(-60, 70)), float(rng.uniform(-179, 179))
+
+
+def caption_for(idx: int, lat: float, lon: float, fmt: str) -> str:
+    return f"image {idx:012d} ({fmt}) near lat={lat:.3f} lon={lon:.3f}"
+
+
+def build_images_df(
+    spark: SparkSession, n: int, w: int = 32, h: int = 32, partitions: int | None = None
+) -> DataFrame:
+    """Distributed deterministic generation of n image rows."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                img = render_image(idx, w, h)
+                fmt = _FMTS[idx % len(_FMTS)]
+                data = codecs.encode_image(img, fmt)
+                la, lo = geotag(idx)
+                rows.append(
+                    (
+                        f"img_{idx:012d}",
+                        bytearray(data),
+                        w,
+                        h,
+                        fmt,
+                        caption_for(idx, la, lo, fmt),
+                        codecs.phash64(img),
+                        la,
+                        lo,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon",
+                ],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
+def write_images_table(
+    spark: SparkSession, table_path: str, n: int, buckets: int = 8, **kw
+) -> list[dict]:
+    """Generate + commit as an Iceberg-lite table partitioned by a
+    deterministic bucket of image_id (resume-safe)."""
+    from pyspark.sql import functions as F
+
+    from .iceberg_lite import write_partitioned
+
+    df = build_images_df(spark, n, **kw).withColumn(
+        "bucket", F.pmod(F.xxhash64("image_id"), F.lit(buckets)).cast("int")
+    )
+    return write_partitioned(df, table_path, "bucket")

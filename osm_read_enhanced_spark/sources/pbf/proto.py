@@ -102,6 +102,21 @@ def decode_packed_uvarints(data: bytes | memoryview) -> np.ndarray:
     per-byte shift = 7 × (position within group); scatter-add payloads.
     One pass over the buffer, no python loop.
     """
+    if len(data) <= 64:
+        # scalar fast path: tiny packed fields (way keys/vals, member
+        # arrays) are dominated by numpy call overhead otherwise
+        out = []
+        result = 0
+        shift = 0
+        for b in bytes(data):
+            result |= (b & 0x7F) << shift
+            if b < 0x80:
+                out.append(result)
+                result = 0
+                shift = 0
+            else:
+                shift += 7
+        return np.array(out, dtype=np.uint64)
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
         return np.empty(0, dtype=np.uint64)

@@ -191,7 +191,10 @@ def read_pbf(
     index desc-by-size first would give longest-job-first (SURVEY §4 O7)
     — AQE coalescing already mitigates stragglers at this scale.
     """
-    index = block_index if block_index is not None else pbf_block_index(spark, paths)
+    if block_index is None:
+        # cache: the per-file header walk runs once, not once per entity
+        block_index = pbf_block_index(spark, paths).cache()
+    index = block_index
     data_blocks = index.filter(index.block_type == "OSMData")
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism

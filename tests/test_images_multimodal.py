@@ -1,0 +1,92 @@
+"""Images table + multimodal operators + payload invariants
+(north_rule: decoded-pixel allclose / PSNR≥40dB + caption + phash)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_read_enhanced_spark.sources.images import (
+    build_images_df,
+    write_images_table,
+)
+from osm_read_enhanced_spark.operators.multimodal import (
+    decode_external_format,
+    decode_stats,
+    resize_images,
+    verify_payloads,
+)
+from osm_read_enhanced_spark.sources import iceberg_lite as il
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return build_images_df(spark, n=48, partitions=4).cache()
+
+
+def test_images_schema_and_determinism(spark, images):
+    rows = {r.image_id: r for r in images.collect()}
+    assert len(rows) == 48
+    again = {r.image_id: r for r in build_images_df(spark, n=48, partitions=2).collect()}
+    for k in rows:
+        assert bytes(rows[k].bytes) == bytes(again[k].bytes)
+        assert rows[k].caption == again[k].caption
+        assert rows[k].phash == again[k].phash
+
+
+def test_payload_invariants(spark, images):
+    res = verify_payloads(images).collect()
+    assert len(res) == 48
+    bad = [r for r in res if not (r.pixels_ok and r.phash_ok)]
+    assert bad == []
+    lossy = [r for r in res if r.fmt == "dct"]
+    assert lossy and all(r.psnr_db >= 40.0 for r in lossy)
+
+
+def test_caption_equality(images):
+    # caption embeds lat/lon/fmt — regenerate from row fields and compare
+    rows = images.select("image_id", "caption", "fmt", "lat", "lon").collect()
+    for r in rows:
+        idx = int(r.image_id.split("_")[-1])
+        assert r.caption == f"image {idx:012d} ({r.fmt}) near lat={r.lat:.3f} lon={r.lon:.3f}"
+
+
+def test_decode_stats_values(images):
+    stats = decode_stats(images)
+    rows = stats.collect()
+    assert len(rows) == 48
+    assert all(0 <= r.mean_r <= 255 for r in rows)
+    # phash column from decode matches the stored phash for lossless fmts
+    joined = (
+        images.select("image_id", "fmt", "phash")
+        .join(stats.select("image_id", "phash_decoded"), "image_id")
+        .filter(F.col("fmt") != "dct")
+    )
+    assert all(r.phash == r.phash_decoded for r in joined.collect())
+
+
+def test_resize(images):
+    small = resize_images(images.limit(8), 8, 8)
+    rows = small.collect()
+    assert all((r.w, r.h, r.fmt) == (8, 8, "png") for r in rows)
+
+
+def test_images_iceberg_table_resume(spark, tmp_path):
+    table = str(tmp_path / "imgs")
+    recs = write_images_table(spark, table, n=32, buckets=4)
+    assert len(recs) == 4
+    again = write_images_table(spark, table, n=32, buckets=4)
+    assert again == []  # fully committed → resume writes nothing
+    assert il.read_table(spark, table).count() == 32
+
+
+def test_external_decode_stub(images):
+    with pytest.raises(NotImplementedError, match="Pillow|ffmpeg"):
+        decode_external_format(images, "jpeg")
+
+
+def test_geotag_skew_cluster(spark):
+    # the dense urban cluster must be present (skew exercise, FIXTURES B1)
+    df = build_images_df(spark, n=400, partitions=4)
+    n_cluster = df.filter(
+        (F.abs(F.col("lat") - 51.5074) < 0.1) & (F.abs(F.col("lon") + 0.1078) < 0.1)
+    ).count()
+    assert n_cluster > 100  # ≈40% of 400
