@@ -98,45 +98,44 @@ def fingerprint64(texts: pd.Series, window: int = 0) -> np.ndarray:
 
 
 def shingles(text: str, k: int = 5) -> set[int]:
-    """Word k-shingles hashed to 64-bit ints."""
+    """Word k-shingles hashed to stable 31-bit ints (md5-based, process-
+    independent — python hash() is salted per process and would break
+    cross-partition determinism)."""
+    import hashlib
+
     words = text.lower().split()
-    if len(words) < k:
-        return {hash(" ".join(words)) & 0x7FFFFFFFFFFFFFFF}
+    grams = (
+        [" ".join(words)]
+        if len(words) < k
+        else [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    )
     return {
-        hash(" ".join(words[i : i + k])) & 0x7FFFFFFFFFFFFFFF
-        for i in range(len(words) - k + 1)
+        int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") & 0x7FFFFFFF
+        for g in grams
     }
 
 
-_MERSENNE = (1 << 61) - 1
+_MERSENNE31 = (1 << 31) - 1
 
 
 def _minhash_params(n_hashes: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, _MERSENNE31, n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE31, n_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def minhash_signature(shingle_hashes: np.ndarray, n_hashes: int = 64, seed: int = 42) -> np.ndarray:
-    """MinHash signature of one shingle set: min((a·x+b) mod p) per hash.
+def minhash_signature(shingle_hashes, n_hashes: int = 64, seed: int = 42) -> np.ndarray:
+    """MinHash signature: min((a·x+b) mod p) per hash function.
 
-    Uses python-int modmul per hash function to stay exact under the
-    Mersenne prime (vectorized across shingles with object upcast is
-    slower than needed; n_hashes×|shingles| stays small per doc)."""
+    p = 2^31-1 keeps a·x < 2^62 so the whole (n_hashes × n_shingles)
+    grid is exact in uint64 — one vectorized broadcast, no python loop."""
     a, b = _minhash_params(n_hashes, seed)
-    x = np.asarray(list(shingle_hashes), dtype=np.uint64)
+    x = np.fromiter(shingle_hashes, dtype=np.uint64)
     if x.size == 0:
         return np.zeros(n_hashes, dtype=np.int64)
-    # (a[:,None]*x[None,:] + b) mod p with uint64 overflow-safe trick:
-    # split multiply via float is lossy → use python ints per hash row
-    sig = np.empty(n_hashes, dtype=np.int64)
-    xs = x.tolist()
-    p = _MERSENNE
-    for i in range(n_hashes):
-        ai, bi = int(a[i]), int(b[i])
-        sig[i] = min(((ai * xv + bi) % p) for xv in xs)
-    return sig
+    grid = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MERSENNE31)
+    return grid.min(axis=1).astype(np.int64)
 
 
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:

@@ -24,6 +24,9 @@ from ..functions.geo import haversine_col
 
 
 def _with_cell(df: DataFrame, res: int, lat_col: str, lon_col: str, out: str) -> DataFrame:
+    from ..session import python_parallelism
+
+    df = df.repartition(python_parallelism(df.sparkSession))
     schema = T.StructType([*df.schema.fields, T.StructField(out, T.LongType(), False)])
 
     def add(it):
@@ -42,6 +45,9 @@ def _with_cell(df: DataFrame, res: int, lat_col: str, lon_col: str, out: str) ->
 
 
 def _with_kring(df: DataFrame, res: int, ring: int, lat_col: str, lon_col: str) -> DataFrame:
+    from ..session import python_parallelism
+
+    df = df.repartition(python_parallelism(df.sparkSession))
     schema = T.StructType(
         [*df.schema.fields, T.StructField("probe_cells", T.ArrayType(T.LongType()), False)]
     )

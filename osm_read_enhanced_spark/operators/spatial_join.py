@@ -54,9 +54,12 @@ def pip_join_broadcast(
     lon_col: str = "lon",
 ) -> DataFrame:
     """→ (point_id, polygon_id) exact containment pairs."""
+    from ..session import python_parallelism
+
     spark = points.sparkSession
     layer = _collect_polygon_layer(polygons)
     bc = spark.sparkContext.broadcast(layer)
+    n_parts = python_parallelism(spark)
 
     schema = T.StructType(
         [
@@ -101,7 +104,13 @@ def pip_join_broadcast(
                     }
                 )
 
-    return points.select(point_id_col, lat_col, lon_col).mapInPandas(probe, schema)
+    # repartition: parquet splits at small SF give 1-2 input partitions,
+    # which would serialize the probe on one Python worker
+    return (
+        points.select(point_id_col, lat_col, lon_col)
+        .repartition(n_parts)
+        .mapInPandas(probe, schema)
+    )
 
 
 def pip_join_cells(
@@ -133,7 +142,13 @@ def pip_join_cells(
             )
             yield pdf.assign(cell=cells)
 
-    pts = points.select(point_id_col, lat_col, lon_col).mapInPandas(add_cell, cell_schema)
+    from ..session import python_parallelism
+
+    pts = (
+        points.select(point_id_col, lat_col, lon_col)
+        .repartition(python_parallelism(points.sparkSession))
+        .mapInPandas(add_cell, cell_schema)
+    )
     poly_cells = polygon_layer.select(
         "polygon_id", "lats", "lons", F.explode("covering_cells").alias("cell")
     )

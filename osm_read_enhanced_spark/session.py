@@ -52,3 +52,14 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def python_parallelism(spark: SparkSession) -> int:
+    """Partition count for Python-heavy (pandas UDF / mapInPandas)
+    stages: half the task slots, floor 4.
+
+    Measured on local[32]: 32 concurrent Python workers collapse Arrow
+    stage throughput ~4× (JVM task threads + 32 interpreters
+    oversubscribe the cores); 16 workers run at full speed. JVM-only
+    stages keep full width — only the Python stages are capped."""
+    return max(4, spark.sparkContext.defaultParallelism // 2)

@@ -15,6 +15,7 @@ of the reference's abandoned per-row "decode modes" — SURVEY.md §4 O3).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -108,22 +109,55 @@ def pbf_block_index(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return files_df.repartition(len(paths)).mapInPandas(scan_partition, BLOCK_INDEX_SCHEMA)
 
 
-def _meta_columns(n: int, info, rows_meta=None):
-    """Normalize decode info into n-length lists per meta column."""
+_META_DTYPES = {
+    "version": "Int32",
+    "timestamp": "Int64",
+    "changeset": "Int64",
+    "uid": "Int64",
+    "user": "object",
+    "visible": "boolean",
+}
+
+
+def _meta_columns(n: int, info):
+    """Normalize decode info into typed n-length columns.
+
+    Missing metadata becomes typed nullable arrays (pandas extension
+    dtypes), NOT object columns of python Nones — the object→Arrow
+    null coercion is a per-element python path and dominated the decode
+    stage before this (measured ~10× the decode kernel itself)."""
     cols = {}
-    for i, name in enumerate(NODE_META):
-        if info is not None and info.get(name) is not None:
-            v = info[name]
-            cols[name] = list(v) if not isinstance(v, list) else v
+    for name in NODE_META:
+        v = info.get(name) if info is not None else None
+        if v is None:
+            dt = _META_DTYPES[name]
+            cols[name] = (
+                [None] * n if dt == "object" else pd.array([None] * n, dtype=dt)
+            )
         else:
-            cols[name] = [None] * n
+            cols[name] = v if not isinstance(v, np.ndarray) else v
     return cols
 
 
-def _decode_partition_factory(kind: str, mode: str, want_info: bool):
-    """Returns a mapInPandas function decoding one entity kind."""
+def _decode_partition_factory(kind: str, mode: str, want_info: bool, rows_per_frame: int = 65536):
+    """Returns a mapInPandas function decoding one entity kind.
+
+    Per-block frames are concatenated up to ``rows_per_frame`` before
+    yielding — fewer Arrow round-trips per task (block ≈ 8k rows; one
+    frame ≈ 8 blocks)."""
 
     def decode_partition(it):
+        pending: list = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows
+            if not pending:
+                return None
+            out = pending[0] if len(pending) == 1 else pd.concat(pending, ignore_index=True)
+            pending, pending_rows = [], 0
+            return out
+
         for pdf in it:
             for path, block_id, offset, size in zip(
                 pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
@@ -151,26 +185,33 @@ def _decode_partition_factory(kind: str, mode: str, want_info: bool):
                         "tags": blk.node_tags,
                     }
                     data.update(_meta_columns(n, blk.node_info))
-                    data["block_id"] = [int(block_id)] * n
-                    yield pd.DataFrame(data)
+                    data["block_id"] = np.full(n, int(block_id), dtype=np.int32)
+                    frame = pd.DataFrame(data)
                 elif kind == "way":
                     if not blk.ways:
                         continue
-                    out = pd.DataFrame(blk.ways)
+                    frame = pd.DataFrame(blk.ways)
                     for m in NODE_META:
-                        if m not in out:
-                            out[m] = None
-                    out["block_id"] = int(block_id)
-                    yield out[["id", "refs", "tags", *NODE_META, "block_id"]]
+                        if m not in frame:
+                            frame[m] = None
+                    frame["block_id"] = int(block_id)
+                    frame = frame[["id", "refs", "tags", *NODE_META, "block_id"]]
                 else:
                     if not blk.relations:
                         continue
-                    out = pd.DataFrame(blk.relations)
+                    frame = pd.DataFrame(blk.relations)
                     for m in NODE_META:
-                        if m not in out:
-                            out[m] = None
-                    out["block_id"] = int(block_id)
-                    yield out[["id", "tags", "members", *NODE_META, "block_id"]]
+                        if m not in frame:
+                            frame[m] = None
+                    frame["block_id"] = int(block_id)
+                    frame = frame[["id", "tags", "members", *NODE_META, "block_id"]]
+                pending.append(frame)
+                pending_rows += len(frame)
+                if pending_rows >= rows_per_frame:
+                    yield flush()
+        out = flush()
+        if out is not None:
+            yield out
 
     return decode_partition
 
@@ -183,6 +224,8 @@ def read_pbf(
     want_info: bool = True,
     partitions: int | None = None,
     block_index: DataFrame | None = None,
+    max_blocks: int | None = None,
+    byte_budget: int | None = None,
 ) -> dict[str, DataFrame]:
     """Read a PBF file into entity DataFrames {kind+'s': DataFrame}.
 
@@ -190,14 +233,36 @@ def read_pbf(
     parallelism). Repartitioning by block_id balances work; sorting the
     index desc-by-size first would give longest-job-first (SURVEY §4 O7)
     — AQE coalescing already mitigates stragglers at this scale.
+
+    ``max_blocks`` = reference maxBlobLimit (Core_Read.js:288-292);
+    ``byte_budget`` = reference read_threshold (Core_Read.js:431-459):
+    both expressed as LIMIT / running-total window on the tiny block
+    index — no data is scanned for skipped blocks.
     """
     if block_index is None:
         # cache: the per-file header walk runs once, not once per entity
         block_index = pbf_block_index(spark, paths).cache()
     index = block_index
-    data_blocks = index.filter(index.block_type == "OSMData")
     if partitions is None:
-        partitions = spark.sparkContext.defaultParallelism
+        from ...session import python_parallelism
+
+        partitions = python_parallelism(spark)
+    data_blocks = index.filter(index.block_type == "OSMData")
+    if max_blocks is not None:
+        data_blocks = data_blocks.orderBy("path", "block_id").limit(max_blocks)
+    if byte_budget is not None:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = (
+            Window.orderBy("path", "block_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        data_blocks = (
+            data_blocks.withColumn("_cum_bytes", F.sum("size").over(w))
+            .filter(F.col("_cum_bytes") <= byte_budget)
+            .drop("_cum_bytes")
+        )
     data_blocks = data_blocks.repartition(partitions, "block_id")
     schemas = {"node": NODES_SCHEMA, "way": WAYS_SCHEMA, "relation": RELATIONS_SCHEMA}
     out = {}

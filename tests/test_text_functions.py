@@ -1,0 +1,82 @@
+"""Text-analytics kernel unit tests (no Spark)."""
+
+import numpy as np
+import pandas as pd
+
+from osm_read_enhanced_spark.functions import text as tx
+
+
+def test_detect_language_markers():
+    s = pd.Series(
+        [
+            "the quick brown fox and the lazy dog is sleeping",
+            "el perro y el gato de la casa que son los animales",
+            "le chat et le chien de la maison est une merveille",
+            "der hund und die katze das ist ein tier",
+            "我的猫是在家里的动物我有很多",
+            "zzzz qqqq xxxx",
+        ]
+    )
+    got = tx.detect_language(s).tolist()
+    assert got[:5] == ["en", "es", "fr", "de", "zh"]
+    assert got[5] == "und"
+
+
+def test_shingles_deterministic_and_windowed():
+    a = tx.shingles("one two three four five six", k=5)
+    b = tx.shingles("one two three four five six", k=5)
+    assert a == b and len(a) == 2
+    short = tx.shingles("one two", k=5)
+    assert len(short) == 1
+
+
+def test_minhash_jaccard_estimate():
+    rng = np.random.default_rng(42)
+    base = set(int(x) for x in rng.integers(0, 2**31 - 1, 300))
+    # overlap ~50%
+    half = set(list(base)[:150]) | set(int(x) for x in rng.integers(0, 2**31 - 1, 150))
+    s1 = tx.minhash_signature(base, n_hashes=128)
+    s2 = tx.minhash_signature(half, n_hashes=128)
+    est = float(np.mean(s1 == s2))
+    true_j = len(base & half) / len(base | half)
+    assert abs(est - true_j) < 0.15
+    # identical sets → identical signatures
+    assert np.array_equal(s1, tx.minhash_signature(set(base), n_hashes=128))
+
+
+def test_minhash_bands_collide_for_identical():
+    sig = tx.minhash_signature({1, 2, 3, 4, 5}, n_hashes=64)
+    assert tx.minhash_bands(sig) == tx.minhash_bands(sig.copy())
+
+
+def test_simhash_similarity_ordering():
+    s = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "completely unrelated words about spark shuffles",
+        ]
+    )
+    h = tx.simhash64(s)
+    d_close = tx.hamming64(h[:1], h[1:2])[0]
+    d_far = tx.hamming64(h[:1], h[2:3])[0]
+    assert d_close < d_far
+
+
+def test_hamming64_known():
+    assert tx.hamming64(np.array([0]), np.array([0]))[0] == 0
+    assert tx.hamming64(np.array([-1]), np.array([0]))[0] == 64
+    assert tx.hamming64(np.array([0b1011]), np.array([0b0001]))[0] == 2
+
+
+def test_ngram_jaccard():
+    a = tx.ngram_set("hello world", 3)
+    assert tx.jaccard(a, a) == 1.0
+    assert tx.jaccard(a, tx.ngram_set("totally different", 3)) < 0.2
+    assert tx.jaccard(set(), set()) == 1.0
+
+
+def test_fingerprint_stability():
+    s = pd.Series(["doc one text", "doc two text", "doc one text"])
+    f = tx.fingerprint64(s)
+    assert f[0] == f[2] and f[0] != f[1]
