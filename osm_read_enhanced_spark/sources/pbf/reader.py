@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .blocks import scan_blocks
@@ -252,7 +253,6 @@ def read_pbf(
         data_blocks = data_blocks.orderBy("path", "block_id").limit(max_blocks)
     if byte_budget is not None:
         from pyspark.sql import Window
-        from pyspark.sql import functions as F
 
         w = (
             Window.orderBy("path", "block_id")
@@ -270,6 +270,55 @@ def read_pbf(
         fn = _decode_partition_factory(kind, mode, want_info)
         out[kind + "s"] = data_blocks.mapInPandas(fn, schemas[kind])
     return out
+
+
+def count_elements(
+    spark: SparkSession, paths: str | list[str], partitions: int | None = None
+) -> DataFrame:
+    """Fast per-block element counts without value decode (reference's
+    quick-count path, lib/OSM_Blob.js:1539-1576 / Decode:595-631 counts
+    dense-node varint terminators instead of decoding values; here the
+    decode prunes tags/info and counts array lengths — and unlike the
+    reference's 50k/10k/5k caps, counts are exact).
+
+    → DataFrame(path, block_id, n_nodes, n_ways, n_relations).
+    """
+    index = pbf_block_index(spark, paths).filter(F.col("block_type") == "OSMData")
+    if partitions is None:
+        from ...session import python_parallelism
+
+        partitions = python_parallelism(spark)
+    index = index.repartition(partitions, "block_id")
+
+    schema = T.StructType(
+        [
+            T.StructField("path", T.StringType(), False),
+            T.StructField("block_id", T.IntegerType(), False),
+            T.StructField("n_nodes", T.LongType(), False),
+            T.StructField("n_ways", T.LongType(), False),
+            T.StructField("n_relations", T.LongType(), False),
+        ]
+    )
+
+    def count_partition(it):
+        for pdf in it:
+            rows = []
+            for path, block_id, offset, size in zip(
+                pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
+            ):
+                with open(path, "rb") as f:
+                    f.seek(int(offset))
+                    raw = f.read(int(size))
+                blk = decode_primitive_block(decode_blob(raw), want_info=False)
+                rows.append(
+                    (path, int(block_id), blk.n_nodes, len(blk.ways), len(blk.relations))
+                )
+            yield pd.DataFrame(
+                rows, columns=["path", "block_id", "n_nodes", "n_ways", "n_relations"]
+            )
+
+    return index.mapInPandas(count_partition, schema)
+
 
 
 def read_pbf_header(path: str) -> dict:

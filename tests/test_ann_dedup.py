@@ -1,0 +1,106 @@
+"""ANN (brute-force / LSH / IVF) and dedup operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_read_enhanced_spark.operators.ann import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    ivf_assign,
+    kmeans_fit,
+)
+from osm_read_enhanced_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+rng = np.random.default_rng(42)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 well-separated clusters in 16d
+    centers = rng.normal(size=(3, 16)) * 5
+    rows = []
+    for i in range(90):
+        c = i % 3
+        rows.append((i, (centers[c] + rng.normal(0, 0.3, 16)).astype(float).tolist(), c))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int").cache()
+
+
+def test_bruteforce_topk_exact(spark, vectors):
+    q = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_bruteforce_topk(vectors, q, k=4).collect()
+    assert len(out) == 20
+    # neighbors of a query share its cluster (clusters are separated)
+    labels = {r.vec_id: r.label for r in vectors.collect()}
+    for r in out:
+        assert labels[r.vec_id] == labels[r.query_id % 90]
+    # ranks are 1..4 per query, cosine descending
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert all(cs == sorted(cs, reverse=True) for cs in by_q.values())
+
+
+def test_lsh_topk_recall(spark, vectors):
+    q = vectors.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann_bruteforce_topk(vectors, q, k=4).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ann_lsh_topk(vectors, q, dim=16, k=4, n_bits=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7  # separated clusters → same-bucket neighbors
+
+
+def test_ivf_assign_clusters(spark, vectors):
+    cent = kmeans_fit(vectors, k=3, iters=8)
+    assert cent.shape == (3, 16)
+    assigned = ivf_assign(vectors, cent).collect()
+    # cluster purity: each true label maps to exactly one list
+    mapping = {}
+    for r in assigned:
+        mapping.setdefault(r.label, set()).add(r.list_id)
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 3
+
+
+def test_embedding_dup_pairs(spark, vectors):
+    # append a near-duplicate of vec 0
+    v0 = vectors.filter("vec_id = 0").collect()[0].embedding
+    dup = spark.createDataFrame(
+        [(1000, [float(x) * 1.0001 for x in v0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = embedding_dup_pairs(vectors.unionByName(dup), threshold=0.999).collect()
+    assert any((p.id_a, p.id_b) == (0, 1000) for p in pairs)
+
+
+def test_dedup_chain_end_to_end(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages using hash partitioning always"),
+            (2, "spark shuffles data between stages using hash partitioning always"),
+            (3, "spark shuffles data between stages using range partitioning always"),
+            (4, "ducks swim in the pond every morning before sunrise happily today"),
+        ],
+        "doc_id long, text string",
+    )
+    assert {r.n_dups for r in exact_dedup(docs).collect()} == {2, 1}
+    mh = minhash_lsh_pairs(docs, threshold=0.4, shingle_k=3).collect()
+    assert (1, 2) in {(r.id_a, r.id_b) for r in mh}
+    sh = simhash_pairs(docs, max_hamming=8).collect()
+    pairs = {(r.id_a, r.id_b) for r in sh}
+    assert (1, 2) in pairs
+    cand = spark.createDataFrame([(1, 3), (1, 4)], "id_a long, id_b long")
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()}
+    assert jac[(1, 3)] > 0.7 > jac[(1, 4)]
