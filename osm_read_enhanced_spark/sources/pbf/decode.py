@@ -470,6 +470,34 @@ def _parse_relation(
     return rel
 
 
+def count_block_elements(data: bytes) -> tuple[int, int, int]:
+    """Exact (n_nodes, n_ways, n_relations) WITHOUT value decode.
+
+    Dense-node count = number of varint terminator bytes in the packed
+    id field (the reference's fast-count trick, Decode:595-631) — one
+    numpy comparison, no delta/tag/coordinate decode; ways/relations
+    count message occurrences only."""
+    n_nodes = n_ways = n_rels = 0
+    for fno, wt, val in iter_fields(data):
+        if fno != 2 or wt != WT_LEN:
+            continue
+        for gf, gw, gv in iter_fields(data, val[0], val[1]):
+            if gw != WT_LEN:
+                continue
+            if gf == 1:
+                n_nodes += 1
+            elif gf == 2:
+                for df, dw, dv in iter_fields(data, gv[0], gv[1]):
+                    if df == 1 and dw == WT_LEN:
+                        buf = np.frombuffer(data[dv[0] : dv[1]], dtype=np.uint8)
+                        n_nodes += int((buf < 0x80).sum())
+            elif gf == 3:
+                n_ways += 1
+            elif gf == 4:
+                n_rels += 1
+    return n_nodes, n_ways, n_rels
+
+
 def decode_primitive_block(
     data: bytes,
     mode: str = STRICT,

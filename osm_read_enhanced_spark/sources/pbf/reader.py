@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .blocks import scan_blocks
-from .decode import NODE_META, decode_blob, decode_primitive_block
+from .decode import (
+    NODE_META,
+    count_block_elements,
+    decode_blob,
+    decode_primitive_block,
+)
 
 BLOCK_INDEX_SCHEMA = T.StructType(
     [
@@ -140,6 +145,20 @@ def _meta_columns(n: int, info):
     return cols
 
 
+def _read_block_checked(path: str, block_id, offset, size) -> bytes:
+    """Seek+read one blob payload with the truncation guard (shared by
+    the decode and count paths)."""
+    with open(path, "rb") as f:
+        f.seek(int(offset))
+        raw = f.read(int(size))
+    if len(raw) < int(size):
+        raise ValueError(
+            f"{path}: truncated blob {block_id} (expected {size} bytes "
+            f"at offset {offset}, got {len(raw)})"
+        )
+    return raw
+
+
 def _decode_partition_factory(kind: str, mode: str, want_info: bool, rows_per_frame: int = 65536):
     """Returns a mapInPandas function decoding one entity kind.
 
@@ -163,14 +182,7 @@ def _decode_partition_factory(kind: str, mode: str, want_info: bool, rows_per_fr
             for path, block_id, offset, size in zip(
                 pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
             ):
-                with open(path, "rb") as f:
-                    f.seek(int(offset))
-                    raw = f.read(int(size))
-                if len(raw) < int(size):
-                    raise ValueError(
-                        f"{path}: truncated blob {block_id} (expected {size} bytes "
-                        f"at offset {offset}, got {len(raw)})"
-                    )
+                raw = _read_block_checked(path, block_id, offset, size)
                 payload = decode_blob(raw)
                 blk = decode_primitive_block(
                     payload, mode=mode, kinds=(kind,), want_info=want_info
@@ -275,11 +287,12 @@ def read_pbf(
 def count_elements(
     spark: SparkSession, paths: str | list[str], partitions: int | None = None
 ) -> DataFrame:
-    """Fast per-block element counts without value decode (reference's
-    quick-count path, lib/OSM_Blob.js:1539-1576 / Decode:595-631 counts
-    dense-node varint terminators instead of decoding values; here the
-    decode prunes tags/info and counts array lengths — and unlike the
-    reference's 50k/10k/5k caps, counts are exact).
+    """Fast per-block element counts WITHOUT value decode (reference's
+    quick-count path, lib/OSM_Blob.js:1539-1576 / Decode:595-631):
+    dense-node count = varint terminator bytes in the packed id field,
+    ways/relations = message occurrences — no delta/tag/coordinate
+    decode at all, and unlike the reference's 50k/10k/5k caps the
+    counts are exact.
 
     → DataFrame(path, block_id, n_nodes, n_ways, n_relations).
     """
@@ -306,13 +319,9 @@ def count_elements(
             for path, block_id, offset, size in zip(
                 pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
             ):
-                with open(path, "rb") as f:
-                    f.seek(int(offset))
-                    raw = f.read(int(size))
-                blk = decode_primitive_block(decode_blob(raw), want_info=False)
-                rows.append(
-                    (path, int(block_id), blk.n_nodes, len(blk.ways), len(blk.relations))
-                )
+                raw = _read_block_checked(path, block_id, offset, size)
+                n_nodes, n_ways, n_rels = count_block_elements(decode_blob(raw))
+                rows.append((path, int(block_id), n_nodes, n_ways, n_rels))
             yield pd.DataFrame(
                 rows, columns=["path", "block_id", "n_nodes", "n_ways", "n_relations"]
             )

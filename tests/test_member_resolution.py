@@ -4,7 +4,7 @@
 from pyspark.sql import functions as F
 
 from osm_read_enhanced_spark.fixtures import build_pitcairn_like
-from osm_read_enhanced_spark.operators.polygons import resolve_members
+from osm_read_enhanced_spark.operators.relations import resolve_members
 from osm_read_enhanced_spark.sources.pbf import read_pbf
 from osm_read_enhanced_spark.sources.pbf.reader import count_elements
 
