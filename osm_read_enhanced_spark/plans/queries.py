@@ -969,6 +969,77 @@ def q37(spark, sf_dir):
     )
 
 
+# SQL-expressible language-ID: marker counts via length/replace —
+# byte-identical formula on both engines (argmax with deterministic
+# tie order en > es > fr > de > zh)
+_LANGID_MARKERS = {
+    "en": (" the ", " and ", " is "),
+    "es": (" el ", " que ", " los "),
+    "fr": (" le ", " les ", " une "),
+    "de": (" der ", " und ", " das "),
+    "zh": ("的", "是", "了"),
+}
+
+
+def _langid_score_sql(lang: str) -> str:
+    parts = [
+        f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+        for m in _LANGID_MARKERS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _langid_detected_sql() -> str:
+    langs = list(_LANGID_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [
+            f"{_langid_score_sql(lang)} >= {_langid_score_sql(o)}" for o in langs[i + 1 :]
+        ] + [f"{_langid_score_sql(lang)} > {_langid_score_sql(o)}" for o in langs[:i]]
+        conds.append(f"{_langid_score_sql(lang)} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+@q(
+    "q38_langid_sql",
+    f"""
+    SELECT lang, detected, count(*) AS n FROM (
+      SELECT lang, {_langid_detected_sql()} AS detected
+      FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
+    GROUP BY lang, detected
+    """,
+    "SQL-expressible language-ID via marker counts (oracle-checked variant of q28)",
+)
+def q38(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+
+    def score(lang):
+        expr = None
+        for m in _LANGID_MARKERS[lang]:
+            c = (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit("")))) / len(m)
+            expr = c if expr is None else expr + c
+        return expr
+
+    langs = list(_LANGID_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        cond = score(lang) > 0
+        for o in langs[i + 1 :]:
+            cond = cond & (score(lang) >= score(o))
+        for o in langs[:i]:
+            cond = cond & (score(lang) > score(o))
+        whens.append((cond, lang))
+    detected = F.when(whens[0][0], whens[0][1])
+    for cond, lang in whens[1:]:
+        detected = detected.when(cond, lang)
+    detected = detected.otherwise("und")
+    return d.select("lang", detected.alias("detected")).groupBy("lang", "detected").agg(
+        F.count("*").alias("n")
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline for entry(): synthesized geotagged points from
     customer keys → hex cell + slippy tile + bbox-PIP against the
