@@ -48,9 +48,10 @@ def quality_score_col(text: Column) -> Column:
     words = F.split(F.lower(text), r"\s+")
     stop_hits = F.size(F.array_intersect(words, F.array(*[F.lit(s) for s in STOPWORDS])))
     stop_score = F.least(stop_hits.cast("double") / F.lit(3.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score, 6
-    )
+    # NO per-row rounding: aggregates over this column must see the exact
+    # IEEE values the SQL oracle aggregates (a per-row round(…,6) here vs
+    # an unrounded oracle can flip the 4th decimal of an average)
+    return F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score
 
 
 # ------------------------------------------------------------ numpy kernels

@@ -112,15 +112,24 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_pairs(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
+def _simhash_band_bounds(n_bands: int) -> list[tuple[int, int]]:
+    """Split the 64-bit hash into ``n_bands`` near-equal contiguous bands
+    → [(shift, width), ...]. Pigeonhole: a pair at hamming distance
+    d < n_bands must agree exactly on at least one band."""
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"n_bands must be in [1, 64], got {n_bands}")
+    bounds = []
+    for i in range(n_bands):
+        lo = i * 64 // n_bands
+        hi = (i + 1) * 64 // n_bands
+        bounds.append((lo, hi - lo))
+    return bounds
+
+
+def simhash_df(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """→ (id_a, id_b, hamming): pairs within hamming radius of 64-bit
-    SimHash. Candidate generation: 4×16-bit band blocking (any pair with
-    hamming ≤ 3 shares at least one exact 16-bit band — pigeonhole)."""
+    """→ (id_col, simhash): 64-bit SimHash per document (Arrow-batched)."""
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -134,7 +143,24 @@ def simhash_pairs(
                 {id_col: pdf[id_col].astype("int64"), "simhash": tx.simhash64(pdf[text_col])}
             )
 
-    sh = docs.select(id_col, text_col).mapInPandas(compute, schema).cache()
+    return docs.select(id_col, text_col).mapInPandas(compute, schema)
+
+
+def pairs_within_hamming(
+    sh: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id_a, id_b, hamming) over a (id, simhash) DataFrame.
+
+    Candidate generation: band blocking with the band count DERIVED from
+    the radius — ``n_bands = max_hamming + 1`` — so recall is guaranteed
+    by pigeonhole for every pair at hamming ≤ max_hamming (a pair that
+    differs in d ≤ max_hamming bits cannot touch all max_hamming+1
+    bands). Wider radii mean narrower bands → bigger buckets → more
+    candidate pairs: selectivity is the price of guaranteed recall
+    (Manku et al. trade this off with permuted tables; bands are the
+    single-table special case).
+    """
+    band_bounds = _simhash_band_bounds(max_hamming + 1)
     bands = sh.select(
         id_col,
         "simhash",
@@ -143,11 +169,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", lo)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("key"),
                     )
-                    for i in range(4)
+                    for i, (lo, width) in enumerate(band_bounds)
                 ]
             )
         ).alias("bk"),
@@ -174,6 +200,19 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): all pairs within the hamming radius of
+    their 64-bit SimHash — recall-complete for any ``max_hamming`` ≤ 63
+    (band count derived from the radius, see pairs_within_hamming)."""
+    sh = simhash_df(docs, id_col, text_col).cache()
+    return pairs_within_hamming(sh, max_hamming, id_col)
 
 
 def ngram_jaccard_pairs(
@@ -214,6 +253,64 @@ def ngram_jaccard_pairs(
             yield out[out["jaccard"] >= threshold]
 
     return joined.mapInPandas(verify, schema)
+
+
+def embedding_dup_pairs_broadcast(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact cosine near-dup pairs with NO shuffled candidate set.
+
+    The vector table folds into a single broadcast array row; every row
+    scans it inside a JVM array expression (filter id_b > id_a →
+    zip_with/aggregate dot product → threshold filter → explode), so
+    only QUALIFYING pairs ever leave the projection — the O(n²)
+    candidate set never hits a shuffle or a join output, unlike the
+    a.id < b.id theta self-join which materializes every pair. Exact
+    all-pairs cosine is inherently O(n²) compute; this plan keeps that
+    compute inside whole-stage codegen, embarrassingly parallel over
+    rows. Use while the table fits one broadcast array (≲ a few hundred
+    MB of vectors); beyond that, block first (``embedding_dup_pairs``
+    with an LSH ``block_col`` — approximate) or IVF-partition.
+
+    The threshold is applied to the UNROUNDED cosine (SQL-oracle
+    semantics); ``round_to`` only formats the output column.
+    """
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x)))
+    arr = v.agg(
+        F.collect_list(F.struct(F.col(id_col).alias("_id"), "_v", "_n")).alias("_all")
+    )
+
+    def cos_of(s):
+        dot = F.aggregate(
+            F.zip_with(s["_v"], F.col("_v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return dot / (s["_n"] * F.col("_n"))
+
+    matches = F.filter(
+        F.transform(
+            F.filter(F.col("_all"), lambda s: s["_id"] > F.col(id_col)),
+            lambda s: F.struct(s["_id"].alias("id_b"), cos_of(s).alias("cosine")),
+        ),
+        lambda t: t["cosine"] >= F.lit(float(threshold)),
+    )
+    return (
+        v.crossJoin(F.broadcast(arr))
+        .select(F.col(id_col).alias("id_a"), F.explode(matches).alias("_m"))
+        .select(
+            "id_a",
+            F.col("_m.id_b").alias("id_b"),
+            F.round("_m.cosine", round_to).alias("cosine"),
+        )
+    )
 
 
 def embedding_dup_pairs(

@@ -109,6 +109,64 @@ def knn_join(
     )
 
 
+def knn_topk_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "point_id",
+    right_id: str = "neighbor_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exclude_self: bool = True,
+    round_dist: int | None = None,
+) -> DataFrame:
+    """Exact kNN with ZERO shuffle for a dimension-scale right side.
+
+    The right side is folded into a single array row (collect_list of
+    structs) and broadcast; every left row ranks its neighbors inside a
+    JVM array expression (transform → array_sort → slice → posexplode).
+    Output is exactly |left|×k rows — the |left|×|right| candidate set
+    never materializes in a shuffle, unlike cross-join + window top-k
+    which shuffles every scored pair into the window exchange. The plan
+    is scan → 1-row broadcast join → project: linear in |left| at any
+    scale. Use when |right| fits one in-memory array (≲ a few hundred
+    thousand rows); otherwise use ``knn_join`` (kRing equi-join).
+
+    ``round_dist``: optional decimals to round the distance to BEFORE
+    ranking (deterministic tie grouping, matches SQL oracles that rank
+    by round(dist, d), id).
+    """
+    r_arr = right.select(
+        F.struct(
+            F.col(lat_col).alias("_rlat"),
+            F.col(lon_col).alias("_rlon"),
+            F.col(right_id).alias("_rid"),
+        ).alias("_s")
+    ).agg(F.collect_list("_s").alias("_nbrs"))
+
+    def score(s):
+        d = haversine_col(F.col(lat_col), F.col(lon_col), s["_rlat"], s["_rlon"])
+        if round_dist is not None:
+            d = F.round(d, round_dist)
+        return F.struct(d.alias("dist_m"), s["_rid"].alias(right_id))
+
+    arr = F.transform(F.col("_nbrs"), score)
+    if exclude_self:
+        arr = F.filter(arr, lambda s: s[right_id] != F.col(left_id))
+    # struct sort = (dist_m, right_id) ascending — the window order
+    topk = F.slice(F.array_sort(arr), 1, k)
+    return (
+        left.crossJoin(F.broadcast(r_arr))
+        .select(F.col(left_id), F.posexplode(topk).alias("pos", "_t"))
+        .select(
+            left_id,
+            F.col(f"_t.{right_id}").alias(right_id),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("_t.dist_m").alias("dist_m"),
+        )
+    )
+
+
 def knn_bruteforce(
     left: DataFrame,
     right: DataFrame,

@@ -17,6 +17,8 @@ Both refine with the same vectorized kernel; results are identical.
 
 from __future__ import annotations
 
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -27,8 +29,23 @@ from ..functions import hexgrid
 from ..functions.pip import points_in_ring
 from .rtree import STRtree
 
-# per-executor cache of broadcast-built R-trees (keyed by broadcast id)
+# Per-worker cache of broadcast-built R-trees, keyed by a driver-generated
+# uuid captured in the probe closure (NOT id(bc): the CPython address of
+# the per-task deserialized Broadcast differs per task — no sharing — and
+# can be reused by a later broadcast after GC — stale-tree risk).
+# LRU-bounded so long-lived reused Python workers don't grow unboundedly.
 _TREE_CACHE: dict = {}
+_TREE_CACHE_MAX = 4
+
+
+def _tree_cache_get(token: str, build):
+    cached = _TREE_CACHE.get(token)
+    if cached is None:
+        cached = build()
+        while len(_TREE_CACHE) >= _TREE_CACHE_MAX:
+            _TREE_CACHE.pop(next(iter(_TREE_CACHE)))
+        _TREE_CACHE[token] = cached
+    return cached
 
 
 def _collect_polygon_layer(polygons: DataFrame):
@@ -59,6 +76,7 @@ def pip_join_broadcast(
     spark = points.sparkSession
     layer = _collect_polygon_layer(polygons)
     bc = spark.sparkContext.broadcast(layer)
+    token = uuid.uuid4().hex  # driver-side identity of this polygon layer
     n_parts = python_parallelism(spark)
 
     schema = T.StructType(
@@ -69,13 +87,11 @@ def pip_join_broadcast(
     )
 
     def probe(it):
-        key = id(bc)
-        cached = _TREE_CACHE.get(key)
-        if cached is None:
+        def build():
             ids, rings, boxes = bc.value
-            cached = (ids, rings, STRtree(boxes))
-            _TREE_CACHE[key] = cached
-        ids, rings, tree = cached
+            return ids, rings, STRtree(boxes)
+
+        ids, rings, tree = _tree_cache_get(token, build)
         for pdf in it:
             xs = pdf[lon_col].to_numpy(dtype=np.float64)
             ys = pdf[lat_col].to_numpy(dtype=np.float64)

@@ -537,28 +537,31 @@ def q19(spark, sf_dir):
       FROM customer CROSS JOIN supplier)
     WHERE rank <= 3
     """,
-    "haversine kNN: cross join + exact refine + window top-k (SURVEY §2.5 J5, §2.7 W3)",
+    "haversine kNN: zero-shuffle broadcast array top-k (SURVEY §2.5 J5, §2.7 W3)",
 )
 def q20(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer").select("c_custkey")
-    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
-    cand = c.crossJoin(F.broadcast(s))
-    dist = F.round(
-        _haversine_col(
-            _lat(F.col("c_custkey")),
-            _lon(F.col("c_custkey")),
-            _lat(F.col("s_suppkey") * 31),
-            _lon(F.col("s_suppkey") * 31),
-        ),
-        1,
+    # scalable plan: the supplier side folds into one broadcast array row
+    # and each customer ranks neighbors inside a JVM array expression —
+    # no |C|×|S| shuffle ever materializes (vs the cross-join + window
+    # brute force, which shuffles every scored pair). Provably identical
+    # to brute force (tests) and to the SQL oracle.
+    from ..operators.knn import knn_topk_broadcast
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
     )
-    scored = cand.select("c_custkey", "s_suppkey", dist.alias("dist_m"))
-    w = Window.partitionBy("c_custkey").orderBy(F.col("dist_m").asc(), F.col("s_suppkey").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 3)
-        .select("c_custkey", "s_suppkey", "rank", "dist_m")
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        _lat(F.col("s_suppkey") * 31).alias("lat"),
+        _lon(F.col("s_suppkey") * 31).alias("lon"),
     )
+    return knn_topk_broadcast(
+        c, s, k=3,
+        left_id="c_custkey", right_id="s_suppkey",
+        exclude_self=False, round_dist=1,
+    ).select("c_custkey", "s_suppkey", "rank", "dist_m")
 
 
 @q(
@@ -694,8 +697,11 @@ def q25(spark, sf_dir):
     "q26_token_count",
     """
     SELECT lang,
-           CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-           round(avg(len(string_split_regex(trim(text), '\\s+'))), 4) AS avg_tokens,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+             AS total_tokens,
+           round(avg(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END), 4) AS avg_tokens,
            count(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -787,7 +793,9 @@ def q31(spark, sf_dir):
     from ..operators.dedup import ngram_jaccard_pairs, simhash_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    cand = simhash_pairs(docs, max_hamming=16).select("id_a", "id_b")
+    # radius 7 → 8 derived bands: recall-complete candidates (pigeonhole)
+    # with 8-bit band keys — selective enough to stay sub-quadratic
+    cand = simhash_pairs(docs, max_hamming=7).select("id_a", "id_b")
     return ngram_jaccard_pairs(docs, cand, threshold=0.5).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
@@ -851,25 +859,14 @@ def q32(spark, sf_dir):
     "embedding-cosine near-dup pairs (pipeline extra; SQL oracle)",
 )
 def q33(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    v = e.select(
-        F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("_v")
+    # exact, zero-shuffle plan: the table folds into one broadcast array
+    # row and each vector scans it JVM-side — no a.id < b.id theta join,
+    # no O(n²) candidate set in any shuffle (operators/dedup.py docstring)
+    from ..operators.dedup import embedding_dup_pairs_broadcast
+
+    return embedding_dup_pairs_broadcast(
+        _t(spark, sf_dir, "embeddings"), threshold=0.5, round_to=4
     )
-    a, b = v.alias("a"), v.alias("b")
-    cand = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    na = F.sqrt(F.aggregate(F.col("a._v"), F.lit(0.0), lambda s, x: s + x * x))
-    nb = F.sqrt(F.aggregate(F.col("b._v"), F.lit(0.0), lambda s, x: s + x * x))
-    cos = dot / (na * nb)
-    return cand.select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(cos, 4).alias("cosine"),
-    ).filter(F.col("cosine") >= 0.5)
 
 
 # ============================================================ events / streaming-equivalent

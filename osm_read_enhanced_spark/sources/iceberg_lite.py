@@ -51,6 +51,36 @@ def _write_manifest_atomic(table_path: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(table_path))  # atomic on POSIX
 
 
+class _manifest_lock:
+    """Serialize manifest read-modify-write across concurrent committers
+    (two writers committing different partitions must not lose each
+    other's commit record). O_CREAT|O_EXCL lockfile + bounded retry —
+    works on any POSIX filesystem, no fcntl needed."""
+
+    def __init__(self, table_path: str, timeout_s: float = 30.0):
+        self.path = _manifest_path(table_path) + ".lock"
+        self.timeout_s = timeout_s
+
+    def __enter__(self):
+        deadline = time.time() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return self
+            except FileExistsError:
+                if time.time() > deadline:
+                    raise TimeoutError(f"manifest lock held too long: {self.path}")
+                time.sleep(0.05)
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
 def committed_partition_ids(table_path: str) -> list:
     return sorted(read_manifest(table_path)["partitions"].keys())
 
@@ -84,16 +114,17 @@ def write_partition(
         ),
         **(metrics or {}),
     }
-    manifest = read_manifest(table_path)  # re-read: concurrent writers
-    manifest["partitions"][partition_id] = record
-    manifest["snapshots"].append(
-        {
-            "snapshot_id": len(manifest["snapshots"]) + 1,
-            "committed": partition_id,
-            "ts_ms": int(time.time() * 1000),
-        }
-    )
-    _write_manifest_atomic(table_path, manifest)
+    with _manifest_lock(table_path):
+        manifest = read_manifest(table_path)  # re-read under the lock
+        manifest["partitions"][partition_id] = record
+        manifest["snapshots"].append(
+            {
+                "snapshot_id": len(manifest["snapshots"]) + 1,
+                "committed": partition_id,
+                "ts_ms": int(time.time() * 1000),
+            }
+        )
+        _write_manifest_atomic(table_path, manifest)
     return record
 
 

@@ -109,6 +109,12 @@ def decode_header_block(data: bytes) -> dict:
         "optional_features": [],
         "writingprogram": None,
         "source": None,
+        # osmosis replication state (osmformat.proto:57-78; surfaced by
+        # the reference header visitor, lib/pbfParser.js:323-345) — what
+        # incremental planet-update pipelines resume from
+        "osmosis_replication_timestamp": None,  # epoch seconds
+        "osmosis_replication_sequence_number": None,
+        "osmosis_replication_base_url": None,
     }
     for fno, wt, val in iter_fields(data):
         if fno == 1 and wt == WT_LEN:  # HeaderBBox, nanodegrees sint64
@@ -126,6 +132,12 @@ def decode_header_block(data: bytes) -> dict:
             out["writingprogram"] = data[val[0] : val[1]].decode("utf-8")
         elif fno == 17 and wt == WT_LEN:
             out["source"] = data[val[0] : val[1]].decode("utf-8")
+        elif fno == 32 and wt == WT_VARINT:
+            out["osmosis_replication_timestamp"] = val
+        elif fno == 33 and wt == WT_VARINT:
+            out["osmosis_replication_sequence_number"] = val
+        elif fno == 34 and wt == WT_LEN:
+            out["osmosis_replication_base_url"] = data[val[0] : val[1]].decode("utf-8")
     return out
 
 
@@ -151,6 +163,7 @@ class DecodedBlock:
     node_info: dict = None  # name → array/list or None
     ways: list = field(default_factory=list)  # dict rows
     relations: list = field(default_factory=list)  # dict rows
+    n_changesets_skipped: int = 0  # changeset groups seen but not decoded
 
     @property
     def n_nodes(self) -> int:
@@ -183,6 +196,23 @@ def _string_lookup(strings: list[str], mode: str):
             return strings[i] if i < len(strings) else ""
 
     return lookup
+
+
+def _merge_node_info(old, n_old: int, new, n_new: int):
+    """Concatenate per-group node info dicts, null-padding fields only
+    one group carries — a block may hold several dense groups (or dense
+    + plain nodes) and metadata must stay row-aligned, not be dropped.
+    Returns None only when neither group had any info."""
+    if old is None and new is None:
+        return None
+
+    def as_list(info, key, n):
+        v = None if info is None else info.get(key)
+        if v is None:
+            return [None] * n
+        return v.tolist() if isinstance(v, np.ndarray) else list(v)
+
+    return {k: as_list(old, k, n_old) + as_list(new, k, n_new) for k in NODE_META}
 
 
 def _tags_from_kv_runs(keys_vals: np.ndarray, n_nodes: int, lookup) -> list[dict]:
@@ -366,11 +396,12 @@ def _parse_dense(blk: DecodedBlock, data: bytes, s: int, e: int, mode: str, want
         blk.node_id, blk.node_lat, blk.node_lon, blk.node_tags = ids, lat_deg, lon_deg, tags
         blk.node_info = info
     else:
+        n_old = len(blk.node_id)
         blk.node_id = np.concatenate([blk.node_id, ids])
         blk.node_lat = np.concatenate([blk.node_lat, lat_deg])
         blk.node_lon = np.concatenate([blk.node_lon, lon_deg])
         blk.node_tags.extend(tags)
-        blk.node_info = None  # mixed groups: drop info rather than misalign
+        blk.node_info = _merge_node_info(blk.node_info, n_old, info, n)
     return blk
 
 
@@ -412,11 +443,12 @@ def _parse_plain_nodes(blk: DecodedBlock, data: bytes, nodes: list, mode: str, w
         blk.node_tags = tags_l
         blk.node_info = infos
     else:
+        n_old = len(blk.node_id)
         blk.node_id = np.concatenate([blk.node_id, new_ids])
         blk.node_lat = np.concatenate([blk.node_lat, np.array(lats)])
         blk.node_lon = np.concatenate([blk.node_lon, np.array(lons)])
         blk.node_tags.extend(tags_l)
-        blk.node_info = None
+        blk.node_info = _merge_node_info(blk.node_info, n_old, infos, len(new_ids))
     return blk
 
 
@@ -470,14 +502,18 @@ def _parse_relation(
     return rel
 
 
-def count_block_elements(data: bytes) -> tuple[int, int, int]:
-    """Exact (n_nodes, n_ways, n_relations) WITHOUT value decode.
+def count_block_elements(data: bytes) -> tuple[int, int, int, int]:
+    """Exact (n_nodes, n_ways, n_relations, n_changesets) WITHOUT value
+    decode.
 
     Dense-node count = number of varint terminator bytes in the packed
     id field (the reference's fast-count trick, Decode:595-631) — one
-    numpy comparison, no delta/tag/coordinate decode; ways/relations
-    count message occurrences only."""
-    n_nodes = n_ways = n_rels = 0
+    numpy comparison, no delta/tag/coordinate decode; ways/relations/
+    changesets count message occurrences only. Changesets (PrimitiveGroup
+    field 5, osmformat.proto:116-122) are counted — not silently invisible
+    — even though neither engine decodes their payload (spec-gap parity
+    with the reference, which also skips them)."""
+    n_nodes = n_ways = n_rels = n_changesets = 0
     for fno, wt, val in iter_fields(data):
         if fno != 2 or wt != WT_LEN:
             continue
@@ -495,7 +531,9 @@ def count_block_elements(data: bytes) -> tuple[int, int, int]:
                 n_ways += 1
             elif gf == 4:
                 n_rels += 1
-    return n_nodes, n_ways, n_rels
+            elif gf == 5:
+                n_changesets += 1
+    return n_nodes, n_ways, n_rels, n_changesets
 
 
 def decode_primitive_block(
@@ -540,6 +578,10 @@ def decode_primitive_block(
                 blk.ways.append(_parse_way(blk, data, val[0], val[1], mode, want_info))
             elif fno == 4 and "relation" in kinds:
                 blk.relations.append(_parse_relation(blk, data, val[0], val[1], mode, want_info))
+            elif fno == 5:
+                # ChangeSet group (osmformat.proto:116-122): not decoded
+                # (reference parity) but counted, never invisible
+                blk.n_changesets_skipped += 1
         if plain_nodes:
             _parse_plain_nodes(blk, data, plain_nodes, mode, want_info)
     if blk.node_id is None:

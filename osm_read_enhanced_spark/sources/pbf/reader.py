@@ -294,7 +294,9 @@ def count_elements(
     decode at all, and unlike the reference's 50k/10k/5k caps the
     counts are exact.
 
-    → DataFrame(path, block_id, n_nodes, n_ways, n_relations).
+    → DataFrame(path, block_id, n_nodes, n_ways, n_relations,
+    n_changesets). Changeset groups are counted (never silently
+    invisible) though their payload is not decoded — reference parity.
     """
     index = pbf_block_index(spark, paths).filter(F.col("block_type") == "OSMData")
     if partitions is None:
@@ -310,6 +312,7 @@ def count_elements(
             T.StructField("n_nodes", T.LongType(), False),
             T.StructField("n_ways", T.LongType(), False),
             T.StructField("n_relations", T.LongType(), False),
+            T.StructField("n_changesets", T.LongType(), False),
         ]
     )
 
@@ -320,10 +323,13 @@ def count_elements(
                 pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
             ):
                 raw = _read_block_checked(path, block_id, offset, size)
-                n_nodes, n_ways, n_rels = count_block_elements(decode_blob(raw))
-                rows.append((path, int(block_id), n_nodes, n_ways, n_rels))
+                n_nodes, n_ways, n_rels, n_cs = count_block_elements(decode_blob(raw))
+                rows.append((path, int(block_id), n_nodes, n_ways, n_rels, n_cs))
             yield pd.DataFrame(
-                rows, columns=["path", "block_id", "n_nodes", "n_ways", "n_relations"]
+                rows,
+                columns=[
+                    "path", "block_id", "n_nodes", "n_ways", "n_relations", "n_changesets",
+                ],
             )
 
     return index.mapInPandas(count_partition, schema)

@@ -137,8 +137,13 @@ def _frame_block(block_type: str, payload: bytes, compress: bool = True) -> byte
 
 
 def build_primitive_block(
-    nodes, ways, relations, granularity, lat_offset, lon_offset, date_granularity
+    nodes, ways, relations, granularity, lat_offset, lon_offset, date_granularity,
+    dense_group_size: int | None = None, changeset_ids=(),
 ) -> bytes:
+    """``dense_group_size``: split dense nodes into several DenseNodes
+    groups of at most this many nodes (a legal layout real encoders can
+    emit — exercises the multi-group merge path). ``changeset_ids``:
+    emit one ChangeSet message per id (PrimitiveGroup field 5)."""
     st = _StringTable()
     group_payloads = []
     if nodes:
@@ -150,13 +155,22 @@ def build_primitive_block(
             if "timestamp_ms" in n:
                 m["timestamp_units"] = n["timestamp_ms"] // date_granularity
             prepared.append(m)
-        group_payloads.append(
-            encode_dense_nodes(prepared, st, with_info=any("version" in n for n in nodes))
-        )
+        gsz = dense_group_size or len(prepared)
+        for i in range(0, len(prepared), gsz):
+            chunk = prepared[i : i + gsz]
+            group_payloads.append(
+                encode_dense_nodes(chunk, st, with_info=any("version" in n for n in chunk))
+            )
     if ways:
         group_payloads.append(b"".join(encode_way(w, st) for w in ways))
     if relations:
         group_payloads.append(b"".join(encode_relation(r, st) for r in relations))
+    if changeset_ids:
+        group_payloads.append(
+            b"".join(
+                encode_len_field(5, encode_varint_field(1, cid)) for cid in changeset_ids
+            )
+        )
     body = st.encode()
     for gp in group_payloads:
         body += encode_len_field(2, gp)
@@ -175,6 +189,9 @@ def build_header_block(
     required_features=("OsmSchema-V0.6", "DenseNodes"),
     writingprogram: str = "osm_read_enhanced_spark",
     bbox=None,
+    replication_timestamp: int | None = None,
+    replication_sequence: int | None = None,
+    replication_base_url: str | None = None,
 ) -> bytes:
     body = b""
     if bbox is not None:
@@ -186,6 +203,13 @@ def build_header_block(
     for feat in required_features:
         body += encode_len_field(4, feat.encode())
     body += encode_len_field(16, writingprogram.encode())
+    # osmosis replication state (osmformat.proto:57-78, fields 32-34)
+    if replication_timestamp is not None:
+        body += encode_varint_field(32, replication_timestamp)
+    if replication_sequence is not None:
+        body += encode_varint_field(33, replication_sequence)
+    if replication_base_url is not None:
+        body += encode_len_field(34, replication_base_url.encode())
     return body
 
 
@@ -212,5 +236,7 @@ def write_pbf(
                 blk.get("lat_offset", 0),
                 blk.get("lon_offset", 0),
                 blk.get("date_granularity", 1000),
+                dense_group_size=blk.get("dense_group_size"),
+                changeset_ids=blk.get("changeset_ids", ()),
             )
             f.write(_frame_block("OSMData", payload, compress))
