@@ -10,7 +10,7 @@ testing (SURVEY.md §5.3 policy).
 
 from .blocks import BlockMeta, scan_blocks
 from .decode import decode_blob, decode_header_block, decode_primitive_block
-from .reader import pbf_block_index, read_pbf
+from .reader import pbf_block_index, read_pbf, read_pbf_union
 from .writer import write_pbf
 
 __all__ = [
@@ -21,5 +21,6 @@ __all__ = [
     "decode_primitive_block",
     "pbf_block_index",
     "read_pbf",
+    "read_pbf_union",
     "write_pbf",
 ]

@@ -3,19 +3,25 @@
 Scale design (SURVEY.md §3.1 "Spark lifecycle equivalent"): the block
 index — not raw byte ranges — is what gets distributed. Each task seeks
 to its blocks' exact offsets, inflates, and decodes with the vectorized
-kernels in ``decode.py``; one PrimitiveBlock never spans partitions, so
-the block-local delta decode (prefix sums) stays inside one Arrow batch.
-On a real cluster the ``open()`` below is an HDFS/S3 stream via the
-executor-local filesystem client; the plan shape is identical.
+kernels in ``columnar.py``; one PrimitiveBlock never spans partitions,
+so the block-local delta decode (prefix sums) stays inside one Arrow
+batch. On a real cluster the ``open()`` below is an HDFS/S3 stream via
+the executor-local filesystem client; the plan shape is identical.
 
-The per-kind passes implement plan-level column pruning: requesting only
-``nodes`` skips way/relation group decode entirely (the working version
-of the reference's abandoned per-row "decode modes" — SURVEY.md §4 O3).
+SINGLE-PASS decode: each block is read, inflated, and TLV-walked ONCE,
+emitting every requested entity kind into one tagged-union DataFrame
+(``read_pbf_union``) — the engine's equivalent of the reference
+decoding each blob once and dispatching all groups (lib/pbfParser.js:
+741-759 → visitOSMDataBlock 319-378). ``read_pbf`` derives the per-kind
+DataFrames as filters over that union (persisted by default when more
+than one kind is requested, so separate downstream actions on nodes AND
+ways never re-inflate a block). Requesting a subset of ``kinds`` still
+prunes the non-requested group decode entirely (the working version of
+the reference's abandoned per-row "decode modes" — SURVEY.md §4 O3).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,7 +32,6 @@ from .decode import (
     NODE_META,
     count_block_elements,
     decode_blob,
-    decode_primitive_block,
 )
 
 BLOCK_INDEX_SCHEMA = T.StructType(
@@ -77,6 +82,22 @@ MEMBER_TYPE = T.StructType(
     ]
 )
 
+# tagged-union schema of the single-pass reader (mirrors
+# columnar.UNION_ARROW_SCHEMA)
+UNION_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("id", T.LongType(), False),
+        T.StructField("lat", T.DoubleType(), True),
+        T.StructField("lon", T.DoubleType(), True),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("refs", T.ArrayType(T.LongType()), True),
+        T.StructField("members", T.ArrayType(MEMBER_TYPE), True),
+        *_META_FIELDS,
+        T.StructField("block_id", T.IntegerType(), False),
+    ]
+)
+
 RELATIONS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
@@ -115,36 +136,6 @@ def pbf_block_index(spark: SparkSession, paths: str | list[str]) -> DataFrame:
     return files_df.repartition(len(paths)).mapInPandas(scan_partition, BLOCK_INDEX_SCHEMA)
 
 
-_META_DTYPES = {
-    "version": "Int32",
-    "timestamp": "Int64",
-    "changeset": "Int64",
-    "uid": "Int64",
-    "user": "object",
-    "visible": "boolean",
-}
-
-
-def _meta_columns(n: int, info):
-    """Normalize decode info into typed n-length columns.
-
-    Missing metadata becomes typed nullable arrays (pandas extension
-    dtypes), NOT object columns of python Nones — the object→Arrow
-    null coercion is a per-element python path and dominated the decode
-    stage before this (measured ~10× the decode kernel itself)."""
-    cols = {}
-    for name in NODE_META:
-        v = info.get(name) if info is not None else None
-        if v is None:
-            dt = _META_DTYPES[name]
-            cols[name] = (
-                [None] * n if dt == "object" else pd.array([None] * n, dtype=dt)
-            )
-        else:
-            cols[name] = v if not isinstance(v, np.ndarray) else v
-    return cols
-
-
 def _read_block_checked(path: str, block_id, offset, size) -> bytes:
     """Seek+read one blob payload with the truncation guard (shared by
     the decode and count paths)."""
@@ -159,93 +150,10 @@ def _read_block_checked(path: str, block_id, offset, size) -> bytes:
     return raw
 
 
-def _decode_partition_factory(kind: str, mode: str, want_info: bool, rows_per_frame: int = 65536):
-    """Returns a mapInPandas function decoding one entity kind.
-
-    Per-block frames are concatenated up to ``rows_per_frame`` before
-    yielding — fewer Arrow round-trips per task (block ≈ 8k rows; one
-    frame ≈ 8 blocks)."""
-
-    def decode_partition(it):
-        pending: list = []
-        pending_rows = 0
-
-        def flush():
-            nonlocal pending, pending_rows
-            if not pending:
-                return None
-            out = pending[0] if len(pending) == 1 else pd.concat(pending, ignore_index=True)
-            pending, pending_rows = [], 0
-            return out
-
-        for pdf in it:
-            for path, block_id, offset, size in zip(
-                pdf["path"], pdf["block_id"], pdf["offset"], pdf["size"]
-            ):
-                raw = _read_block_checked(path, block_id, offset, size)
-                payload = decode_blob(raw)
-                blk = decode_primitive_block(
-                    payload, mode=mode, kinds=(kind,), want_info=want_info
-                )
-                if kind == "node":
-                    n = blk.n_nodes
-                    if n == 0:
-                        continue
-                    data = {
-                        "id": blk.node_id,
-                        "lat": blk.node_lat,
-                        "lon": blk.node_lon,
-                        "tags": blk.node_tags,
-                    }
-                    data.update(_meta_columns(n, blk.node_info))
-                    data["block_id"] = np.full(n, int(block_id), dtype=np.int32)
-                    frame = pd.DataFrame(data)
-                elif kind == "way":
-                    if not blk.ways:
-                        continue
-                    frame = pd.DataFrame(blk.ways)
-                    for m in NODE_META:
-                        if m not in frame:
-                            frame[m] = None
-                    frame["block_id"] = int(block_id)
-                    frame = frame[["id", "refs", "tags", *NODE_META, "block_id"]]
-                else:
-                    if not blk.relations:
-                        continue
-                    frame = pd.DataFrame(blk.relations)
-                    for m in NODE_META:
-                        if m not in frame:
-                            frame[m] = None
-                    frame["block_id"] = int(block_id)
-                    frame = frame[["id", "tags", "members", *NODE_META, "block_id"]]
-                pending.append(frame)
-                pending_rows += len(frame)
-                if pending_rows >= rows_per_frame:
-                    yield flush()
-        out = flush()
-        if out is not None:
-            yield out
-
-    return decode_partition
-
-
-def read_pbf(
-    spark: SparkSession,
-    paths: str | list[str],
-    kinds: tuple = ("node", "way", "relation"),
-    mode: str = "strict",
-    want_info: bool = True,
-    partitions: int | None = None,
-    block_index: DataFrame | None = None,
-    max_blocks: int | None = None,
-    byte_budget: int | None = None,
-) -> dict[str, DataFrame]:
-    """Read a PBF file into entity DataFrames {kind+'s': DataFrame}.
-
-    ``partitions`` spreads blocks across tasks (defaults to Spark's
-    parallelism). Repartitioning by block_id balances work; sorting the
-    index desc-by-size first would give longest-job-first (SURVEY §4 O7)
-    — AQE coalescing already mitigates stragglers at this scale.
+def _select_data_blocks(
+    spark, paths, block_index, partitions, max_blocks, byte_budget
+) -> DataFrame:
+    """Shared index plumbing: filter/budget/partition the block index.
 
     ``max_blocks`` = reference maxBlobLimit (Core_Read.js:288-292);
     ``byte_budget`` = reference read_threshold (Core_Read.js:431-459):
@@ -253,7 +161,7 @@ def read_pbf(
     index — no data is scanned for skipped blocks.
     """
     if block_index is None:
-        # cache: the per-file header walk runs once, not once per entity
+        # cache: the per-file header walk runs once, not once per action
         block_index = pbf_block_index(spark, paths).cache()
     index = block_index
     if partitions is None:
@@ -275,12 +183,98 @@ def read_pbf(
             .filter(F.col("_cum_bytes") <= byte_budget)
             .drop("_cum_bytes")
         )
-    data_blocks = data_blocks.repartition(partitions, "block_id")
-    schemas = {"node": NODES_SCHEMA, "way": WAYS_SCHEMA, "relation": RELATIONS_SCHEMA}
+    return data_blocks.repartition(partitions, "block_id")
+
+
+def read_pbf_union(
+    spark: SparkSession,
+    paths: str | list[str],
+    kinds: tuple = ("node", "way", "relation"),
+    mode: str = "strict",
+    want_info: bool = True,
+    partitions: int | None = None,
+    block_index: DataFrame | None = None,
+    max_blocks: int | None = None,
+    byte_budget: int | None = None,
+) -> DataFrame:
+    """SINGLE-PASS read: every block is seeked, inflated, and decoded
+    exactly once per action, emitting all requested kinds into one
+    tagged-union DataFrame (UNION_SCHEMA: kind ∈ node|way|relation,
+    entity columns nulled where not applicable).
+
+    The decode is Arrow-native (``columnar.decode_blob_to_batches``):
+    mapInArrow yields RecordBatches built directly from numpy index
+    arrays and C++ string-table takes — no per-row python objects, no
+    pandas detour. This is the hot path; per-kind plan pruning still
+    applies via ``kinds``.
+    """
+    data_blocks = _select_data_blocks(
+        spark, paths, block_index, partitions, max_blocks, byte_budget
+    )
+    kinds = tuple(kinds)
+
+    def decode_partition(batches):
+        from .columnar import decode_blob_to_batches
+
+        for batch in batches:
+            d = batch.to_pydict()
+            for path, block_id, offset, size in zip(
+                d["path"], d["block_id"], d["offset"], d["size"]
+            ):
+                raw = _read_block_checked(path, block_id, offset, size)
+                yield from decode_blob_to_batches(
+                    raw, int(block_id), mode=mode, kinds=kinds, want_info=want_info
+                )
+
+    return data_blocks.mapInArrow(decode_partition, UNION_SCHEMA)
+
+
+_KIND_COLS = {
+    "node": ["id", "lat", "lon", "tags", *NODE_META, "block_id"],
+    "way": ["id", "refs", "tags", *NODE_META, "block_id"],
+    "relation": ["id", "tags", "members", *NODE_META, "block_id"],
+}
+
+
+def read_pbf(
+    spark: SparkSession,
+    paths: str | list[str],
+    kinds: tuple = ("node", "way", "relation"),
+    mode: str = "strict",
+    want_info: bool = True,
+    partitions: int | None = None,
+    block_index: DataFrame | None = None,
+    max_blocks: int | None = None,
+    byte_budget: int | None = None,
+    persist: bool | None = None,
+) -> dict[str, DataFrame]:
+    """Read a PBF file into entity DataFrames {kind+'s': DataFrame}.
+
+    All kinds come from ONE single-pass union read (``read_pbf_union``):
+    a block is never inflated more than once per action. ``persist``
+    (default: True when >1 kind is requested) persists the decoded union
+    MEMORY_AND_DISK so separate downstream actions on nodes AND ways
+    share one decode — the Spark equivalent of the reference decoding
+    each blob once for all visitors. Pass ``persist=False`` for
+    fire-once pipelines that already combine the kinds in one action.
+
+    ``partitions`` spreads blocks across tasks (defaults to the capped
+    Python parallelism). Repartitioning by block_id balances work; AQE
+    coalescing mitigates stragglers.
+    """
+    union = read_pbf_union(
+        spark, paths, kinds, mode, want_info, partitions,
+        block_index, max_blocks, byte_budget,
+    )
+    if persist is None:
+        persist = len(kinds) > 1
+    if persist:
+        from pyspark import StorageLevel
+
+        union = union.persist(StorageLevel.MEMORY_AND_DISK)
     out = {}
     for kind in kinds:
-        fn = _decode_partition_factory(kind, mode, want_info)
-        out[kind + "s"] = data_blocks.mapInPandas(fn, schemas[kind])
+        out[kind + "s"] = union.filter(F.col("kind") == kind).select(*_KIND_COLS[kind])
     return out
 
 
