@@ -137,12 +137,21 @@ def jvm_spatial_rows_per_sec(
 
     cores = spark.sparkContext.defaultParallelism
     li = _t(spark, sf_dir, "lineitem")
+    # replicate via broadcast range cross join (BroadcastNestedLoopJoin
+    # streams rows inside codegen) — NOT explode(sequence(...)), which
+    # materializes a replicate-sized array per input row (64 KB at
+    # replicate=8192) and turns the job memory-bound: that array traffic
+    # is fixed per row regardless of core count and was what capped
+    # measured scaling efficiency
+    reps = F.broadcast(
+        li.sparkSession.range(replicate).select(F.col("id").alias("rep"))
+    )
     base = (
         li.select(
             F.col("l_orderkey").alias("k1"), F.col("l_partkey").alias("k2"), "l_linenumber"
         )
         .repartition(cores * 4)
-        .select("*", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1))).alias("rep"))
+        .crossJoin(reps)
     )
     pts = base.select(
         _lat(F.col("k1") * 7 + F.col("k2") + F.col("rep") * 131).alias("lat"),
@@ -259,7 +268,10 @@ def run_scaling_job(cores: int, sf_dir: str) -> dict:
     by this sandbox's worker-oversubscription knee, SCALE.md)."""
     spark = _spark(cores)
     spark.range(1000).selectExpr("sum(id)").collect()
-    sp_wall, sp_rps, sp_n = jvm_spatial_rows_per_sec(spark, sf_dir, replicate=2048)
+    # replicate=4096 (2.46B points): hi-side wall ≥ 30s so fixed setup
+    # (session/job scheduling, ~3s) is <10% of the measurement — at
+    # 2048 it was ~25% of the 10s hi wall and capped efficiency at 0.73
+    sp_wall, sp_rps, sp_n = jvm_spatial_rows_per_sec(spark, sf_dir, replicate=4096)
     spark.stop()
     return {
         "spatial_wall": round(sp_wall, 3),
@@ -273,11 +285,15 @@ def main():
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     if "--scaling" in sys.argv:
         # N vs 4N parallelism on identical input (BASELINE.md protocol).
-        # 4 vs 16 keeps both configs under this shared-VM sandbox's
-        # contention knee (32-wide runs hit neighbor steal + worker
-        # oversubscription); trials alternate and the best per config is
-        # used to reject transient host noise.
-        lo, hi = 4, 16
+        # 2 vs 8 keeps both configs well under this shared-VM sandbox's
+        # contention/throttle knee (16-wide sustained runs lose ~20% to
+        # neighbor steal + burstable-CPU throttling; 32-wide worse);
+        # trials alternate and the best per config is used to reject
+        # transient host noise.
+        lo, hi = (
+            int(os.environ.get("SPARK_GRAFT_SCALING_LO", "2")),
+            int(os.environ.get("SPARK_GRAFT_SCALING_HI", "8")),
+        )
         # this shared host throttles under sustained load (a job run
         # right after a heavy one measures 3-5x slower regardless of
         # core count), so trials alternate order with cooldowns and the
@@ -292,11 +308,12 @@ def main():
         r_lo = min(trials_lo, key=lambda r: r["total_sec"])
         r_hi = min(trials_hi, key=lambda r: r["total_sec"])
         eff = (r_lo["total_sec"] / r_hi["total_sec"]) / (hi / lo)
+        n_pts = r_hi["spatial_points"]
         out = {
-            "metric": f"spatial-join+tile 1.23B-point wall (scaling: local[{lo}] vs local[{hi}])",
+            "metric": f"spatial-join+tile {n_pts/1e9:.2f}B-point wall (scaling: local[{lo}] vs local[{hi}])",
             "value": r_hi["total_sec"],
             "unit": "sec",
-            "queries": {"jvm_spatial_1.2B": r_hi["spatial_wall"]},
+            "queries": {f"jvm_spatial_{n_pts/1e9:.2f}B": r_hi["spatial_wall"]},
             "sf": sf,
             "scaling": {
                 "cores_lo": lo,

@@ -139,14 +139,86 @@ def minhash_signature(shingle_hashes, n_hashes: int = 64, seed: int = 42) -> np.
     return grid.min(axis=1).astype(np.int64)
 
 
+_FNV_PRIME = np.uint64(1099511628211)
+_FNV_BASIS = np.uint64(14695981039346656037)
+
+
 def minhash_bands(sig: np.ndarray, bands: int = 16) -> list[int]:
-    """Split signature into band hashes for LSH bucketing."""
-    rows = len(sig) // bands
-    out = []
+    """Split signature into band hashes for LSH bucketing (single-doc
+    wrapper over the vectorized FNV band mix)."""
+    return minhash_band_hashes_batch(np.asarray(sig)[None, :], bands)[0].tolist()
+
+
+def minhash_band_hashes_batch(sigs: np.ndarray, bands: int = 16) -> np.ndarray:
+    """(n_docs, n_hashes) signatures → (n_docs, bands) band-bucket keys.
+
+    FNV-1a mix of each band's signature rows, vectorized across the
+    whole batch (uint64 wraparound arithmetic — deterministic across
+    processes, unlike python hash() which is salted for str/bytes)."""
+    sigs = np.asarray(sigs)
+    n, h = sigs.shape
+    rows = h // bands
+    s = sigs.astype(np.uint64)
+    out = np.empty((n, bands), dtype=np.int64)
     for b in range(bands):
-        h = hash((b, tuple(int(v) for v in sig[b * rows : (b + 1) * rows])))
-        out.append(h & 0x7FFFFFFFFFFFFFFF)
+        acc = np.full(n, _FNV_BASIS ^ np.uint64(b + 1))
+        for r in range(rows):
+            acc = (acc ^ s[:, b * rows + r]) * _FNV_PRIME
+        out[:, b] = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return out
+
+
+def minhash_signatures_batch(
+    texts: pd.Series, n_hashes: int = 64, k: int = 5, seed: int = 42,
+    max_grid: int = 4_000_000,
+) -> np.ndarray:
+    """Batch MinHash over a whole Arrow batch of documents.
+
+    One (n_hashes × total_shingles) vectorized permutation grid +
+    per-document segmented min (np.minimum.reduceat) replaces the
+    per-document broadcast (the round-1 per-row loop, VERDICT #8).
+    Shingle hashing stays md5-of-joined-words, so per-doc and batch
+    paths produce IDENTICAL signatures (pinned by test). ``max_grid``
+    bounds grid memory by chunking documents.
+    """
+    import hashlib
+
+    a, b = _minhash_params(n_hashes, seed)
+    counts = np.zeros(len(texts), dtype=np.int64)
+    flat: list[int] = []
+    for i, t in enumerate(texts.fillna("")):
+        words = t.lower().split()
+        grams = (
+            [" ".join(words)]
+            if len(words) < k
+            else [" ".join(words[j : j + k]) for j in range(len(words) - k + 1)]
+        )
+        flat.extend(
+            int.from_bytes(hashlib.md5(g.encode()).digest()[:4], "big") & 0x7FFFFFFF
+            for g in grams
+        )
+        counts[i] = len(grams)
+    x = np.array(flat, dtype=np.uint64)
+    offsets = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+    sigs = np.empty((len(texts), n_hashes), dtype=np.int64)
+    # chunk documents so the (n_hashes × shingles) grid stays bounded
+    per_chunk = max(max_grid // max(n_hashes, 1), 1)
+    d0 = 0
+    while d0 < len(texts):
+        d1 = d0
+        shingles_in = 0
+        while d1 < len(texts) and (shingles_in + counts[d1] <= per_chunk or d1 == d0):
+            shingles_in += counts[d1]
+            d1 += 1
+        s0 = offsets[d0]
+        s1 = s0 + shingles_in
+        grid = (a[:, None] * x[None, s0:s1] + b[:, None]) % np.uint64(_MERSENNE31)
+        sigs[d0:d1] = np.minimum.reduceat(
+            grid, (offsets[d0:d1] - s0), axis=1
+        ).T.astype(np.int64)
+        d0 = d1
+    return sigs
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:

@@ -17,7 +17,6 @@ All heavy text kernels run vectorized in Arrow batches
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -54,12 +53,20 @@ def _signature_df(
 
     def compute(it):
         for pdf in it:
-            rows = []
-            for did, t in zip(pdf[id_col], pdf[text_col]):
-                sh = np.array(sorted(tx.shingles(t or "", k=shingle_k)), dtype=np.uint64)
-                sig = tx.minhash_signature(sh, n_hashes=n_hashes)
-                rows.append((int(did), sig.tolist(), tx.minhash_bands(sig, bands=bands)))
-            yield pd.DataFrame(rows, columns=[id_col, "sig", "band_hashes"])
+            # batch kernels: one vectorized permutation grid + segmented
+            # min for the whole Arrow batch (VERDICT #8 — replaces the
+            # per-document loop)
+            sigs = tx.minhash_signatures_batch(
+                pdf[text_col], n_hashes=n_hashes, k=shingle_k
+            )
+            bh = tx.minhash_band_hashes_batch(sigs, bands=bands)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "sig": list(sigs),
+                    "band_hashes": list(bh),
+                }
+            )
 
     return docs.select(id_col, text_col).mapInPandas(compute, schema)
 

@@ -606,8 +606,24 @@ def q21(spark, sf_dir):
 
 @q(
     "q22_pip_rtree",
-    None,  # exercised via the broadcast R-tree operator; oracle below in q21 covers the geometry
-    "broadcast R-tree PIP join on deterministic squares (north_rule J4; rows-only check)",
+    # same geometry as q21 (the squares are axis-aligned, so exact
+    # ray-cast containment == the bbox range predicate): the R-tree
+    # operator must reproduce the SQL join's row set exactly
+    f"""
+    WITH pts AS (
+      SELECT c_custkey, {_SQL_LAT.format(k="c_custkey")} AS lat,
+             {_SQL_LON.format(k="c_custkey")} AS lon
+      FROM customer),
+    boxes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS box_id,
+             -60.0 + r_regionkey * 25.0 AS minlat, -60.0 + r_regionkey * 25.0 + 20.0 AS maxlat,
+             -150.0 + r_regionkey * 55.0 AS minlon, -150.0 + r_regionkey * 55.0 + 45.0 AS maxlon
+      FROM region)
+    SELECT c_custkey, box_id
+    FROM pts JOIN boxes
+      ON lat >= minlat AND lat < maxlat AND lon >= minlon AND lon < maxlon
+    """,
+    "broadcast R-tree PIP join on deterministic squares (north_rule J4; oracle = q21 geometry)",
 )
 def q22(spark, sf_dir):
     from ..operators.spatial_join import pip_join_broadcast
@@ -746,10 +762,42 @@ def q27(spark, sf_dir):
     )
 
 
+def _heuristic_langid_sql() -> str:
+    """SQL mirror of functions.text.detect_language: per-language marker
+    counts via length/replace (non-overlapping, same as pandas
+    str.count), winner = first language in iteration order whose score
+    is > 0, > every earlier language and >= every later one (pandas'
+    strict-improvement loop). The /len(text) normalization cancels out
+    of the argmax (same divisor for every language) so raw counts
+    compare identically."""
+    from ..functions.text import _LANG_MARKERS
+
+    def score(lang):
+        parts = [
+            f"(length(t) - length(replace(t, '{m}', ''))) / {len(m)}"
+            for m in _LANG_MARKERS[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    langs = list(_LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        conds = [f"{score(lang)} > 0"]
+        conds += [f"{score(lang)} > {score(o)}" for o in langs[:i]]
+        conds += [f"{score(lang)} >= {score(o)}" for o in langs[i + 1 :]]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
 @q(
     "q28_langid_markers",
-    None,
-    "language-ID n-gram/marker heuristic vs labeled lang (pipeline extra; rows-only)",
+    f"""
+    SELECT lang, detected, count(*) AS n FROM (
+      SELECT lang, {_heuristic_langid_sql()} AS detected
+      FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
+    GROUP BY lang, detected
+    """,
+    "language-ID n-gram/marker heuristic vs labeled lang (pipeline extra; SQL-mirrored oracle)",
 )
 def q28(spark, sf_dir):
     from .udfs import detect_lang_udf
@@ -773,21 +821,98 @@ def q29(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
+# SimHash in SQL: md5(token) first 8 bytes big-endian = hex chars 1-16;
+# bit b (LSB=0) lives in hex char 16 - b//4, nibble bit b%4. Per-doc
+# per-bit weight = Σ_tokens (+1 if bit set else -1); a pair's hamming
+# distance = #bits where the two docs' weight signs differ — computed
+# directly on the per-bit accumulators, so the packed int64 (and its
+# bit-63 sign hazard) never materializes. Mirrors functions.text.simhash64
+# exactly (same md5, same per-occurrence accumulation, same acc>0 rule).
+_SIMHASH_ACC_CTE = """
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    hx AS (SELECT doc_id, md5(w) AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, CAST(16 - b.b // 4 AS INT), 1)) - 1)
+                        >> CAST(b.b % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END AS w
+      FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b) b),
+    acc AS (
+      SELECT doc_id, bit, sum(w) AS a FROM bits GROUP BY doc_id, bit
+      UNION ALL
+      -- token-less documents: simhash 0 (all-zero accumulator), same as
+      -- the python side's empty split()
+      SELECT d.doc_id, b.b AS bit, 0 AS a
+      FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS b) b
+      WHERE length(trim(d.text)) = 0)
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int) -> str:
+    return f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(sum(CASE WHEN (a.a > 0) != (b.a > 0) THEN 1 ELSE 0 END) AS BIGINT)
+             AS hamming
+    FROM acc a JOIN acc b ON a.bit = b.bit AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING sum(CASE WHEN (a.a > 0) != (b.a > 0) THEN 1 ELSE 0 END) <= {max_hamming}
+    """
+
+
 @q(
     "q30_simhash_dups",
-    None,
-    "SimHash near-dup pairs within hamming radius (pipeline extra; rows-only)",
+    f"WITH {_SIMHASH_ACC_CTE} {_simhash_pairs_sql(10)}",
+    "SimHash near-dup pairs within hamming radius (pipeline extra; SQL-mirrored oracle)",
 )
 def q30(spark, sf_dir):
     from ..operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10)
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=10).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 @q(
     "q31_ngram_jaccard",
-    None,
-    "n-gram Jaccard verify over simhash candidates (pipeline extra; rows-only)",
+    # candidates = all pairs at simhash hamming ≤ 7 (the banding is
+    # recall-complete at that radius, so blocked == all-pairs), refined
+    # by exact 3-gram Jaccard; jaccard ≥ 0.5 tested as 2·|∩| ≥ |∪|
+    # (exact integer arithmetic, no float threshold edge)
+    f"""
+    WITH {_SIMHASH_ACC_CTE},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM acc a JOIN acc b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING sum(CASE WHEN (a.a > 0) != (b.a > 0) THEN 1 ELSE 0 END) <= 7),
+    norm AS (
+      SELECT doc_id,
+             array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS t
+      FROM documents),
+    nums AS (
+      SELECT unnest(range(1,
+        (SELECT CAST(max(greatest(length(t) - 2, 1)) AS BIGINT) + 1 FROM norm))) AS i),
+    grams AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 3) AS g
+      FROM norm JOIN nums ON i <= greatest(length(t) - 2, 1)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      GROUP BY c.id_a, c.id_b)
+    SELECT x.id_a, x.id_b,
+           floor(x.i * 1.0 / (sa.sz + sb.sz - x.i) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter x
+    JOIN sizes sa ON sa.doc_id = x.id_a
+    JOIN sizes sb ON sb.doc_id = x.id_b
+    WHERE 2 * x.i >= sa.sz + sb.sz - x.i
+    """,
+    "n-gram Jaccard verify over simhash candidates (pipeline extra; SQL-mirrored oracle)",
 )
 def q31(spark, sf_dir):
     from ..operators.dedup import ngram_jaccard_pairs, simhash_pairs
@@ -797,7 +922,11 @@ def q31(spark, sf_dir):
     # with 8-bit band keys — selective enough to stay sub-quadratic
     cand = simhash_pairs(docs, max_hamming=7).select("id_a", "id_b")
     return ngram_jaccard_pairs(docs, cand, threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+        "id_a",
+        "id_b",
+        # floor(x·10⁴+0.5)/10⁴ instead of round(): identical IEEE ops in
+        # both engines (see q02)
+        (F.floor(F.col("jaccard") * 10000 + 0.5) / 10000).alias("jaccard"),
     )
 
 
@@ -1035,6 +1164,30 @@ def q38(spark, sf_dir):
     return d.select("lang", detected.alias("detected")).groupBy("lang", "detected").agg(
         F.count("*").alias("n")
     )
+
+
+# ------------------------------------------------------ pinned oracles
+#
+# Queries whose kernels are not ANSI-SQL-expressible (S2 Hilbert cells,
+# hex lattice, MinHash permutations, image codecs) get PINNED golden
+# oracles: their verified sf0.01 output embedded as a SQL VALUES literal
+# (regenerate with tools/pin_oracles.py after an intentional kernel
+# change). The kernels themselves carry independent property/golden
+# pytest coverage (tests/test_geo_kernels.py, test_ann_dedup.py,
+# test_codecs.py); the pinned oracle turns silent regressions into
+# driver-visible correctness failures. Pins are valid ONLY at sf0.01 —
+# the driver's correctness scale.
+try:  # pragma: no cover - import guard
+    from .pinned_oracles import PINNED_ORACLES
+except ImportError:  # pragma: no cover
+    PINNED_ORACLES = {}
+
+for _name, _sql in PINNED_ORACLES.items():
+    _qd = QUERIES.get(_name)
+    if _qd is not None and _qd.oracle is None:
+        QUERIES[_name] = QueryDef(
+            _qd.fn, _sql, _qd.description + " [pinned sf0.01 golden oracle]"
+        )
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

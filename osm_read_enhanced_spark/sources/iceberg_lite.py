@@ -92,7 +92,13 @@ def write_partition(
     metrics: dict | None = None,
 ) -> dict:
     """Write one logical partition atomically; idempotent (already
-    committed → no-op). Returns the lineage record."""
+    committed → no-op). Returns the lineage record.
+
+    Per-stage metrics land via ``df.observe`` (SURVEY §2.6 A4): the
+    write action itself reports the rows that flowed through the plan
+    (``observed_rows``), cross-checked against the re-read file count
+    (``row_count``) — a mismatch means files were dropped/duplicated
+    between plan and disk."""
     manifest = read_manifest(table_path)
     if partition_id in manifest["partitions"]:
         return manifest["partitions"][partition_id]
@@ -100,7 +106,12 @@ def write_partition(
     final_dir = os.path.join(table_path, f"part={partition_id}")
     tmp_dir = os.path.join(table_path, f"_tmp-{partition_id}-{uuid.uuid4().hex}")
     t0 = time.time()
+    from pyspark.sql import Observation
+
+    obs = Observation(f"lineage-{partition_id}")
+    df = df.observe(obs, F.count(F.lit(1)).alias("observed_rows"))
     df.write.mode("overwrite").parquet(tmp_dir)
+    observed_rows = int(obs.get["observed_rows"])
     row_count = df.sparkSession.read.parquet(tmp_dir).count()
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
@@ -108,12 +119,18 @@ def write_partition(
     record = {
         "partition": partition_id,
         "row_count": row_count,
+        "observed_rows": observed_rows,
         "wall_ms": int((time.time() - t0) * 1000),
         "files": sorted(
             f for f in os.listdir(final_dir) if f.endswith(".parquet")
         ),
         **(metrics or {}),
     }
+    if observed_rows != row_count:  # pragma: no cover - corruption guard
+        raise ValueError(
+            f"{table_path} part={partition_id}: observed {observed_rows} rows "
+            f"in the write plan but {row_count} on disk"
+        )
     with _manifest_lock(table_path):
         manifest = read_manifest(table_path)  # re-read under the lock
         manifest["partitions"][partition_id] = record
@@ -166,9 +183,16 @@ def lineage_df(spark: SparkSession, table_path: str) -> DataFrame:
     metrics table of the north rule)."""
     manifest = read_manifest(table_path)
     rows = [
-        (r["partition"], r["row_count"], r["wall_ms"], ",".join(r["files"]))
+        (
+            r["partition"],
+            r["row_count"],
+            r.get("observed_rows", r["row_count"]),
+            r["wall_ms"],
+            ",".join(r["files"]),
+        )
         for r in manifest["partitions"].values()
     ]
     return spark.createDataFrame(
-        rows, "partition string, row_count long, wall_ms long, files string"
+        rows,
+        "partition string, row_count long, observed_rows long, wall_ms long, files string",
     )

@@ -57,6 +57,9 @@ def test_lineage_metrics(spark, tmp_path):
     rows = {r.partition: r.row_count for r in lin.collect()}
     assert rows == {"0": 25, "1": 25, "2": 25, "3": 25}
     assert all(r.wall_ms >= 0 for r in lin.collect())
+    # df.observe lineage (SURVEY §2.6 A4): the rows observed flowing
+    # through the write plan must equal the rows on disk
+    assert all(r.observed_rows == r.row_count for r in lin.collect())
 
 
 def test_uncommitted_tmp_invisible(spark, tmp_path):

@@ -80,3 +80,33 @@ def test_fingerprint_stability():
     s = pd.Series(["doc one text", "doc two text", "doc one text"])
     f = tx.fingerprint64(s)
     assert f[0] == f[2] and f[0] != f[1]
+
+
+def test_minhash_batch_equals_per_doc():
+    """The vectorized batch kernel (permutation grid + segmented min)
+    must produce exactly the per-document signatures; band hashes must
+    match the single-doc wrapper."""
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog near the river bank",
+            "the quick brown fox jumps over the lazy cat near the river bank",
+            "completely different content about spark shuffle partitions and arrow",
+            "",
+            "one two",
+        ]
+    )
+    sigs = tx.minhash_signatures_batch(texts, n_hashes=64, k=5)
+    for i, t in enumerate(texts):
+        sh = np.array(sorted(tx.shingles(t, k=5)), dtype=np.uint64)
+        expected = tx.minhash_signature(sh, n_hashes=64)
+        assert np.array_equal(sigs[i], expected), i
+    bands = tx.minhash_band_hashes_batch(sigs, bands=16)
+    for i in range(len(texts)):
+        assert bands[i].tolist() == tx.minhash_bands(sigs[i], bands=16)
+
+
+def test_minhash_batch_chunking_consistent():
+    texts = pd.Series([f"doc {i} " + " ".join(f"w{j}" for j in range(30)) for i in range(40)])
+    a = tx.minhash_signatures_batch(texts, n_hashes=32, k=5)
+    b = tx.minhash_signatures_batch(texts, n_hashes=32, k=5, max_grid=200)
+    assert np.array_equal(a, b)
