@@ -160,6 +160,41 @@ def encode_varint(v: int) -> bytes:
 
 
 def encode_packed_uvarints(vals) -> bytes:
+    """Vectorized LEB128 encode of a value sequence (mirror of the
+    byte-parallel decoder above): per-value byte counts from bit
+    lengths, 7-bit payload extraction into a (n × max_bytes) grid,
+    continuation bits everywhere but each group's last byte, then one
+    boolean-mask compaction. Falls back to the scalar loop for tiny
+    inputs (numpy call overhead dominates) or values ≥ 2^63."""
+    arr = np.asarray(list(vals) if not isinstance(vals, np.ndarray) else vals)
+    n = arr.size
+    if n == 0:
+        return b""
+    if n < 32 or arr.dtype == object or (arr.dtype.kind not in "iu"):
+        return _encode_packed_uvarints_scalar(arr)
+    a = arr.astype(np.uint64, copy=False)
+    if bool((arr < 0).any() if arr.dtype.kind == "i" else False):
+        return _encode_packed_uvarints_scalar(arr)
+    if bool((a >> np.uint64(63)).any()):  # int64-shift trick needs bit63 clear
+        return _encode_packed_uvarints_scalar(arr)
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbytes = np.ones(n, dtype=np.int64)
+    v = a >> np.uint64(7)
+    while bool((v != 0).any()):
+        nbytes += (v != 0).astype(np.int64)
+        v >>= np.uint64(7)
+    max_b = int(nbytes.max())
+    ai = a.view(np.int64)  # values < 2^63 here; int64 shifts are fast
+    grid = np.empty((n, max_b), dtype=np.uint8)
+    for j in range(max_b):  # ≤10 vectorized column ops — NOT a 2D
+        grid[:, j] = (ai >> (7 * j)) & 0x7F  # broadcast shift (400× slower)
+    mask = np.arange(max_b)[None, :] < nbytes[:, None]
+    cont = np.arange(max_b)[None, :] < (nbytes - 1)[:, None]
+    grid |= np.where(cont, np.uint8(0x80), np.uint8(0))
+    return grid[mask].tobytes()
+
+
+def _encode_packed_uvarints_scalar(vals) -> bytes:
     out = bytearray()
     for v in vals:
         v = int(v)
@@ -175,7 +210,12 @@ def encode_packed_uvarints(vals) -> bytes:
 
 
 def encode_packed_svarints(vals) -> bytes:
-    return encode_packed_uvarints(zigzag_encode(int(v)) for v in vals)
+    arr = np.asarray(list(vals) if not isinstance(vals, np.ndarray) else vals)
+    if arr.size >= 32 and arr.dtype.kind == "i":
+        s = arr.astype(np.int64, copy=False)
+        zz = (s.view(np.uint64) << np.uint64(1)) ^ (s >> np.int64(63)).view(np.uint64)
+        return encode_packed_uvarints(zz)
+    return _encode_packed_uvarints_scalar(zigzag_encode(int(v)) for v in arr)
 
 
 def encode_key(field_no: int, wire_type: int) -> bytes:

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
+
 from .proto import (
     encode_len_field,
     encode_packed_svarints,
@@ -91,6 +93,35 @@ def encode_dense_nodes(nodes: list[dict], st: _StringTable, with_info: bool = Tr
     body += encode_len_field(8, encode_packed_svarints(lats))
     body += encode_len_field(9, encode_packed_svarints(lons))
     body += encode_len_field(10, encode_packed_uvarints(kv))
+    return encode_len_field(2, body)  # PrimitiveGroup.dense
+
+
+def encode_dense_nodes_from_arrays(
+    ids, lat_raw, lon_raw, keys_vals=None
+) -> bytes:
+    """Columnar DenseNodes encode: numpy id/coord arrays (absolute
+    values; delta computed here via np.diff) + an already-flattened
+    keys_vals index array (0-terminated runs, indices into the caller's
+    string table). The vectorized writer twin of columnar decode — used
+    by array-scale fixture generation and any DataFrame→PBF sink path.
+    """
+    ids = np.asarray(ids, dtype=np.int64)
+    lat_raw = np.asarray(lat_raw, dtype=np.int64)
+    lon_raw = np.asarray(lon_raw, dtype=np.int64)
+
+    def deltas(a):
+        d = np.empty(len(a), dtype=np.int64)
+        if len(a):
+            d[0] = a[0]
+            np.subtract(a[1:], a[:-1], out=d[1:])
+        return d
+
+    body = encode_len_field(1, encode_packed_svarints(deltas(ids)))
+    body += encode_len_field(8, encode_packed_svarints(deltas(lat_raw)))
+    body += encode_len_field(9, encode_packed_svarints(deltas(lon_raw)))
+    if keys_vals is None:
+        keys_vals = np.zeros(len(ids), dtype=np.int64)  # no tags: one 0/node
+    body += encode_len_field(10, encode_packed_uvarints(np.asarray(keys_vals)))
     return encode_len_field(2, body)  # PrimitiveGroup.dense
 
 
