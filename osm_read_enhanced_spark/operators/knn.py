@@ -167,6 +167,114 @@ def knn_topk_broadcast(
     )
 
 
+def _covered_meters(ring: int, res: int, lat_col):
+    """Distance (meters) provably covered by a k-ring probe at ``res``
+    around a point at latitude ``lat_col`` — any true neighbor within
+    this distance MUST fall in a probed cell, so a kth-nearest candidate
+    inside it is exact.
+
+    Derivation: the hex lattice lives in (lon°, lat°) plane with edge
+    e = edge_deg(res); the k-ring hexagon's inradius is 1.5·e·ring, and
+    a point-to-cell-center slop of ≤ 2e leaves a fully-covered DEGREE
+    disc of radius e·(1.5·ring − 2). Meters→degrees worst case is the
+    longitude axis at the highest latitude reachable inside the disc
+    (cos shrink), with an extra 1.5 slack for planar-vs-haversine
+    distortion. Underestimating coverage only costs extra rounds — never
+    correctness."""
+    e = hexgrid.edge_deg(res)
+    deg_cov = max(0.0, (1.5 * ring - 2.0) * e)
+    phi = F.least(F.lit(89.0), F.abs(lat_col) + F.lit(deg_cov))
+    m_per_deg = F.least(F.lit(110574.0), F.lit(111320.0) * F.cos(F.radians(phi)))
+    return F.lit(deg_cov) * m_per_deg / F.lit(1.5)
+
+
+def knn_join_adaptive(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    res: int = 6,
+    left_id: str = "point_id",
+    right_id: str = "neighbor_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    exclude_self: bool = True,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """EXACT kNN via iterative ring expansion — no coverage contract.
+
+    ``knn_join`` requires the caller to pick a ring that covers the true
+    kNN radius (fails silently in sparse regions). This operator removes
+    that trap: each round probes a doubling ring; a left point RESOLVES
+    when it has ≥ k candidates whose kth distance is within the ring's
+    provably-covered radius (_covered_meters). Unresolved points carry
+    to the next round; anything still unresolved after ``max_rounds``
+    (e.g. near-polar points where the planar coverage bound collapses)
+    falls back to the exact broadcast scan — so the result equals
+    brute force on ANY input, while dense regions resolve in round 1
+    with candidate sets bounded by their local ring.
+
+    Driver loop is O(max_rounds) Spark jobs over a shrinking unresolved
+    subset — the standard iterative-refinement shape (like AQE retries),
+    not a per-row loop.
+    """
+    rt = _with_cell(
+        right.select(F.col(right_id), F.col(lat_col), F.col(lon_col)),
+        res, lat_col, lon_col, "cell",
+    ).select(
+        right_id, F.col(lat_col).alias("_rlat"), F.col(lon_col).alias("_rlon"), "cell"
+    ).cache()
+    unresolved = left.select(F.col(left_id), F.col(lat_col), F.col(lon_col))
+    chunks = []
+    ring = 1
+    for _ in range(max_rounds):
+        lt = _with_kring(unresolved, res, ring, lat_col, lon_col).select(
+            left_id,
+            F.col(lat_col).alias("_llat"),
+            F.col(lon_col).alias("_llon"),
+            F.explode("probe_cells").alias("cell"),
+        )
+        cand = lt.join(rt, "cell", "inner")
+        if exclude_self:
+            cand = cand.filter(F.col(left_id) != F.col(right_id))
+        scored = cand.select(
+            left_id, right_id, "_llat",
+            haversine_col(
+                F.col("_llat"), F.col("_llon"), F.col("_rlat"), F.col("_rlon")
+            ).alias("dist_m"),
+        ).dropDuplicates([left_id, right_id])
+        w = Window.partitionBy(left_id).orderBy(
+            F.col("dist_m").asc(), F.col(right_id).asc()
+        )
+        topk = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("_n", F.count("*").over(Window.partitionBy(left_id)))
+            .withColumn("_kth", F.max("dist_m").over(Window.partitionBy(left_id)))
+        )
+        resolved = topk.filter(
+            (F.col("_n") >= k) & (F.col("_kth") <= _covered_meters(ring, res, F.col("_llat")))
+        ).select(left_id, right_id, "rank", "dist_m")
+        chunks.append(resolved.cache())
+        done_ids = resolved.select(left_id).distinct()
+        unresolved = unresolved.join(done_ids, left_id, "left_anti")
+        if unresolved.isEmpty():
+            unresolved = None
+            break
+        ring *= 2
+    if unresolved is not None and not unresolved.isEmpty():
+        chunks.append(
+            knn_bruteforce(
+                unresolved, right, k,
+                left_id=left_id, right_id=right_id,
+                lat_col=lat_col, lon_col=lon_col, exclude_self=exclude_self,
+            )
+        )
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def knn_bruteforce(
     left: DataFrame,
     right: DataFrame,

@@ -81,6 +81,104 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"  # epoch micros
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator (SURVEY §2.10/§2.11):
+    per-user session assembly via ``applyInPandasWithState`` with
+    event-time timeout.
+
+    Semantics: a session CLOSES (one output row: user_id, session_start,
+    session_end, n_events) when a later event arrives more than
+    ``gap_minutes`` after the session's last event, or when the event
+    -time watermark passes session_end + gap (GroupState timeout). This
+    is the arbitrary-state surface the built-in session_window cannot
+    express when per-session custom state (counters, payloads,
+    model state) is needed — the graft's stateful-stream analogue of the
+    reference's chunked state machine (Core_Read.js:332-367).
+
+    Works on a streaming DF with a watermark on ``ts``; the batch
+    equivalence oracle is ``sessionize`` (lag/cumsum) restricted to
+    closed sessions — pinned by test.
+    """
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def assemble(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        closed = []  # (start_us, end_us, n)
+        if state.hasTimedOut:
+            if state.exists:
+                s, last, n = state.get
+                closed.append((s, last, n))
+                state.remove()
+        else:
+            ts_us = []
+            for pdf in pdf_iter:
+                ns = pd.to_datetime(pdf["ts"]).values.astype("datetime64[ns]").astype("int64")
+                ts_us.extend(int(t) // 1000 for t in ns)
+            ts_us.sort()
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s = last = None
+                n = 0
+            for t in ts_us:
+                if s is None:
+                    s, last, n = t, t, 1
+                elif t - last > gap_us:
+                    closed.append((s, last, n))
+                    s, last, n = t, t, 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            if s is not None:
+                state.update((s, last, n))
+                # timeout must sit strictly beyond the current watermark
+                timeout_ms = max(
+                    (last + gap_us) // 1000, state.getCurrentWatermarkMs() + 1
+                )
+                state.setTimeoutTimestamp(timeout_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    src = events.withWatermark("ts", f"{gap_minutes} minutes")
+    return src.groupBy("user_id").applyInPandasWithState(
+        assemble,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def closed_sessions_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch oracle for sessionize_stateful: gap-sessionize, aggregate
+    per session, and keep every session (a bounded input closes all)."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    ).drop("session_id")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: int = 120
 ) -> None:

@@ -185,3 +185,57 @@ def test_relation_multipolygon_stitching(spark):
     r = rings[0]
     assert r.polygon_id == 900 and r.role == "outer"
     assert sorted(zip(r.lats, r.lons)) == [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)]
+
+
+def test_knn_adaptive_matches_bruteforce_sparse_globe(spark):
+    """The adaptive ring-expansion kNN must equal brute force on
+    GLOBALLY SPARSE data — exactly the regime where fixed-ring knn_join's
+    coverage contract breaks (true neighbors many cells away)."""
+    from osm_read_enhanced_spark.operators.knn import (
+        knn_bruteforce,
+        knn_join_adaptive,
+    )
+
+    rng = np.random.default_rng(17)
+    n, m = 40, 15  # 15 right points over the whole globe = very sparse
+    left = spark.createDataFrame(
+        [(int(i), float(rng.uniform(-75, 75)), float(rng.uniform(-170, 170)))
+         for i in range(n)],
+        "point_id long, lat double, lon double",
+    )
+    right = spark.createDataFrame(
+        [(int(j), float(rng.uniform(-75, 75)), float(rng.uniform(-170, 170)))
+         for j in range(m)],
+        "neighbor_id long, lat double, lon double",
+    )
+    a = knn_join_adaptive(left, right, k=3, res=6, exclude_self=False).orderBy(
+        "point_id", "rank"
+    ).collect()
+    b = knn_bruteforce(left, right, k=3, exclude_self=False).orderBy(
+        "point_id", "rank"
+    ).collect()
+    assert [(r.point_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.point_id, r.neighbor_id, r.rank) for r in b
+    ]
+    assert np.allclose([r.dist_m for r in a], [r.dist_m for r in b])
+
+
+def test_knn_adaptive_matches_bruteforce_dense_cluster(spark):
+    from osm_read_enhanced_spark.operators.knn import (
+        knn_bruteforce,
+        knn_join_adaptive,
+    )
+
+    n = 150
+    lat = 48.85 + rng.uniform(-0.03, 0.03, n)
+    lon = 2.35 + rng.uniform(-0.03, 0.03, n)
+    df = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(n)],
+        "point_id long, lat double, lon double",
+    ).cache()
+    right = df.select(F.col("point_id").alias("neighbor_id"), "lat", "lon")
+    a = knn_join_adaptive(df, right, k=4, res=8).orderBy("point_id", "rank").collect()
+    b = knn_bruteforce(df, right, k=4).orderBy("point_id", "rank").collect()
+    assert [(r.point_id, r.neighbor_id, r.rank) for r in a] == [
+        (r.point_id, r.neighbor_id, r.rank) for r in b
+    ]
