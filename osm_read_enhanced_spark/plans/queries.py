@@ -1166,6 +1166,51 @@ def q38(spark, sf_dir):
     )
 
 
+@q(
+    "q39_dedup_clusters",
+    # edges = all pairs at simhash hamming ≤ 7 (SQL-mirrored, see q30);
+    # components via recursive transitive closure, canonical = min id
+    f"""
+    WITH RECURSIVE {_SIMHASH_ACC_CTE},
+    prs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM acc a JOIN acc b ON a.bit = b.bit AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING sum(CASE WHEN (a.a > 0) != (b.a > 0) THEN 1 ELSE 0 END) <= 7),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, least(src, min(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+    "near-dup cluster canonicalization: simhash pair graph → connected components (hash-min label propagation; recursive-CTE oracle)",
+)
+def q39(spark, sf_dir):
+    from ..operators.dedup import connected_components, simhash_pairs
+
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=7)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+@q(
+    "q40_ann_ivf",
+    None,  # non-SQL kernel (kmeans + IVF probe) → pinned golden oracle
+    "IVF ANN end-to-end: coarse kmeans lists + nprobe probe + exact refine top-k (pipeline extra)",
+)
+def q40(spark, sf_dir):
+    from ..operators.ann import ann_ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ivf_topk(e, qs, k=5, n_lists=16, nprobe=4)
+
+
 # ------------------------------------------------------ pinned oracles
 #
 # Queries whose kernels are not ANSI-SQL-expressible (S2 Hilbert cells,

@@ -104,3 +104,48 @@ def test_dedup_chain_end_to_end(spark):
     jac = {(r.id_a, r.id_b): r.jaccard for r in
            ngram_jaccard_pairs(docs, cand, threshold=0.0).collect()}
     assert jac[(1, 3)] > 0.7 > jac[(1, 4)]
+
+
+def test_connected_components_chain_and_islands(spark):
+    from osm_read_enhanced_spark.operators.dedup import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    comp = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 99]],
+                                 "doc_id long")
+    keep = {r.doc_id: r.keep for r in dedup_keep_list(docs, pairs).collect()}
+    # canonical member of each cluster + the unpaired doc survive
+    assert keep == {1: True, 2: False, 3: False, 4: False,
+                    10: True, 11: False, 20: True, 21: False, 99: True}
+
+
+def test_ivf_topk_exact_when_probing_all_lists(spark, vectors):
+    """nprobe == n_lists probes every list → IVF must equal brute force
+    exactly; at nprobe=4/16 it is approximate with reasonable recall."""
+    from osm_read_enhanced_spark.operators.ann import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    qs = vectors.filter("vec_id < 6").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_bruteforce_topk(vectors, qs, k=5).orderBy("query_id", "rank").collect()
+    full = ann_ivf_topk(vectors, qs, k=5, n_lists=8, nprobe=8).orderBy(
+        "query_id", "rank"
+    ).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in full] == [
+        (r.query_id, r.vec_id, r.rank) for r in exact
+    ]
+    approx = ann_ivf_topk(vectors, qs, k=5, n_lists=8, nprobe=3).collect()
+    got = {(r.query_id, r.vec_id) for r in approx}
+    want = {(r.query_id, r.vec_id) for r in exact}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.4, recall
