@@ -89,6 +89,43 @@ def with_lsh_bucket(
     return df.mapInPandas(add, schema)
 
 
+def with_lsh_probes(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Query-side multiprobe buckets: the exact sketch bucket PLUS the
+    ``multiprobe`` single-bit flips of the LOWEST-MARGIN bits (the
+    projections closest to their hyperplane — the bits most likely to
+    disagree with a true neighbor's sketch). One matmul + argsort per
+    Arrow batch; output has one row per (input row, probed bucket).
+    """
+    planes = _hyperplanes(dim, n_bits, seed)
+    m = min(multiprobe, n_bits)
+    schema = T.StructType([*df.schema.fields, T.StructField(out_col, T.LongType(), False)])
+
+    def probe(it):
+        for pdf in it:
+            M = np.vstack(pdf[vec_col].to_numpy())
+            margins = M @ planes.T
+            bits = margins > 0
+            base = bits @ (1 << np.arange(n_bits, dtype=np.int64))
+            flips_order = np.argsort(np.abs(margins), axis=1)[:, :m]
+            buckets = np.empty((len(base), m + 1), dtype=np.int64)
+            buckets[:, 0] = base
+            for j in range(m):
+                buckets[:, j + 1] = base ^ (np.int64(1) << flips_order[:, j])
+            out = pdf.loc[pdf.index.repeat(m + 1)].reset_index(drop=True)
+            out[out_col] = buckets.ravel()
+            yield out
+
+    return df.mapInPandas(probe, schema)
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -99,15 +136,20 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed cosine top-k (approximate: recall < 1 when true
-    neighbors land in other buckets — raise k/n_bits tradeoff or add
-    multiprobe for higher recall)."""
+    neighbors land in other buckets). ``multiprobe`` additionally probes
+    that many lowest-margin single-bit-flip buckets per query — recall
+    rises toward exact at the cost of a proportionally larger candidate
+    join (the standard multiprobe trade; vectors are never replicated,
+    only query rows)."""
     v = with_lsh_bucket(
         vectors.select(id_col, vec_col), dim, n_bits, vec_col, "bucket", seed
     ).select(F.col(id_col), F.col(vec_col).alias("_v"), _norm_col("_v").alias("_nv"), "bucket")
-    q = with_lsh_bucket(
-        queries.select(query_id_col, vec_col), dim, n_bits, vec_col, "bucket", seed
+    q = with_lsh_probes(
+        queries.select(query_id_col, vec_col), dim, n_bits, vec_col, "bucket", seed,
+        multiprobe=multiprobe,
     ).select(
         F.col(query_id_col), F.col(vec_col).alias("_q"), _norm_col("_q").alias("_nq"), "bucket"
     )

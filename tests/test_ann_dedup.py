@@ -149,3 +149,29 @@ def test_ivf_topk_exact_when_probing_all_lists(spark, vectors):
     want = {(r.query_id, r.vec_id) for r in exact}
     recall = len(got & want) / len(want)
     assert recall >= 0.4, recall
+
+
+def test_lsh_multiprobe_raises_recall(spark, vectors):
+    """Probing the lowest-margin flip buckets must find at least as many
+    true neighbors as exact-bucket-only, and probing every flip of a
+    short sketch approaches brute force."""
+    q = vectors.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in ann_bruteforce_topk(vectors, q, k=4).collect()
+    }
+
+    def recall(multiprobe):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ann_lsh_topk(
+                vectors, q, dim=16, k=4, n_bits=6, multiprobe=multiprobe
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r3, r6 = recall(0), recall(3), recall(6)
+    assert r0 <= r3 + 1e-9 and r3 <= r6 + 1e-9
+    assert r6 >= 0.8

@@ -148,3 +148,70 @@ def test_union_equals_per_kind_reader(spark, tmp_path):
     # spot-check a decoded way row end-to-end
     w = dfs["ways"].orderBy("id").first()
     assert len(w.refs) == 10 and w.tags["highway"] == "residential"
+
+
+# --------------------------------------------------- property-based
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_tag = st.dictionaries(
+    st.text(min_size=1, max_size=6), st.text(max_size=6), max_size=3
+)
+_node = st.tuples(
+    st.integers(min_value=1, max_value=2**55),
+    st.floats(min_value=-85, max_value=85, allow_nan=False, width=32),
+    st.floats(min_value=-179, max_value=179, allow_nan=False, width=32),
+    _tag,
+    st.integers(min_value=1, max_value=2**20),       # version-ish
+    st.integers(min_value=0, max_value=2**40),       # timestamp ms
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    nodes=st.lists(_node, min_size=1, max_size=25, unique_by=lambda t: t[0]),
+    group_size=st.integers(min_value=1, max_value=26),
+    granularity=st.sampled_from([100, 1000]),
+    with_way=st.booleans(),
+    with_rel=st.booleans(),
+)
+def test_roundtrip_row_and_columnar_agree(
+    tmp_path_factory, nodes, group_size, granularity, with_way, with_rel
+):
+    """Random entities (unicode tags, >2^53 ids, metadata, multi-group
+    splits, non-default granularity) → write → BOTH decoders must
+    reproduce the input and each other."""
+    path = str(tmp_path_factory.mktemp("prop") / "r.pbf")
+    nodes = sorted(nodes, key=lambda t: t[0])
+    node_dicts = [
+        dict(id=i, lat=la, lon=lo, tags=t, version=v,
+             timestamp_ms=(ts // 1000) * 1000, changeset=v + 1, uid=7, user=f"u{v % 3}")
+        for i, la, lo, t, v, ts in nodes
+    ]
+    ids = [n["id"] for n in node_dicts]
+    blk = dict(nodes=node_dicts, dense_group_size=group_size, granularity=granularity)
+    if with_way:
+        blk["ways"] = [dict(id=1, refs=ids[: max(2, len(ids) // 2)],
+                            tags={"k": "v"}, version=2, timestamp_ms=5000,
+                            changeset=1, uid=1, user="w")]
+    if with_rel:
+        blk["relations"] = [dict(id=2, tags={"type": "multipolygon"},
+                                 members=[dict(ref=ids[0], role="outer", type=0)])]
+    write_pbf(path, [blk])
+    payload = decode_blob(read_block_payload(scan_blocks(path)[1]))
+    row = decode_primitive_block(payload)
+    # row decode reproduces the INPUT
+    assert row.node_id.tolist() == ids
+    gran_q = granularity / 1e9  # writer quantizes coords to the grid
+    for j, n in enumerate(node_dicts):
+        assert abs(row.node_lat[j] - n["lat"]) <= gran_q
+        assert abs(row.node_lon[j] - n["lon"]) <= gran_q
+        assert row.node_tags[j] == n["tags"]
+    assert [int(v) for v in row.node_info["version"]] == [n["version"] for n in node_dicts]
+    assert [int(v) for v in row.node_info["timestamp"]] == [
+        n["timestamp_ms"] for n in node_dicts
+    ]
+    # columnar decode == row decode, field by field
+    _assert_block_equal(payload, 1, "strict")
