@@ -1167,6 +1167,52 @@ def q38(spark, sf_dir):
 
 
 @q(
+    "q41_knn_adaptive",
+    # same semantics as q20 (3 nearest suppliers per customer), third
+    # physical strategy: iterative ring expansion with provable-coverage
+    # resolution + exact fallback — no broadcast of the right side needed
+    f"""
+    SELECT * FROM (
+      SELECT c_custkey, s_suppkey,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY {_haversine_sql(_SQL_LAT.format(k="c_custkey"),
+                                        _SQL_LON.format(k="c_custkey"),
+                                        _SQL_LAT.format(k="s_suppkey * 31"),
+                                        _SQL_LON.format(k="s_suppkey * 31"))},
+                        s_suppkey) AS rank,
+             round({_haversine_sql(_SQL_LAT.format(k="c_custkey"),
+                                   _SQL_LON.format(k="c_custkey"),
+                                   _SQL_LAT.format(k="s_suppkey * 31"),
+                                   _SQL_LON.format(k="s_suppkey * 31"))}, 1) AS dist_m
+      FROM customer CROSS JOIN supplier)
+    WHERE rank <= 3
+    """,
+    "adaptive ring-expansion kNN (exact, coverage-free contract) vs brute-force SQL oracle",
+)
+def q41(spark, sf_dir):
+    from ..operators.knn import knn_join_adaptive
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("neighbor_id"),
+        _lat(F.col("s_suppkey") * 31).alias("lat"),
+        _lon(F.col("s_suppkey") * 31).alias("lon"),
+    )
+    out = knn_join_adaptive(c, s, k=3, res=4, exclude_self=False)
+    return out.select(
+        F.col("point_id").alias("c_custkey"),
+        F.col("neighbor_id").alias("s_suppkey"),
+        "rank",
+        F.round("dist_m", 1).alias("dist_m"),
+    )
+
+
+@q(
     "q39_dedup_clusters",
     # edges = all pairs at simhash hamming ≤ 7 (SQL-mirrored, see q30);
     # components via recursive transitive closure, canonical = min id

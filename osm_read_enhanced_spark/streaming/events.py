@@ -179,6 +179,42 @@ def closed_sessions_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     ).drop("session_id")
 
 
+class ProgressTicker:
+    """StreamingQueryListener capturing per-micro-batch progress — the
+    Spark analogue of the reference's progress ticker
+    (Core_Read.js:389-411). ``records`` accumulates
+    (query_name, batch_id, numInputRows) tuples."""
+
+    def __init__(self):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        records = []
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                records.append((p.name, p.batchId, p.numInputRows))
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                pass
+
+        self.records = records
+        self.listener = _L()
+
+    def attach(self, spark) -> "ProgressTicker":
+        spark.streams.addListener(self.listener)
+        return self
+
+    def detach(self, spark) -> None:
+        spark.streams.removeListener(self.listener)
+
+
 def run_stream_to_memory(
     stream_df: DataFrame, query_name: str, timeout_s: int = 120
 ) -> None:

@@ -128,3 +128,33 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
         (r.user_id, r.session_start, r.session_end, r.n_events) for r in batch_sessions
     }
     assert got <= all_sessions
+
+
+def test_progress_ticker_listener(spark, sf_dir, tmp_path):
+    """StreamingQueryListener progress capture (the reference's progress
+    ticker analogue, Core_Read.js:389-411)."""
+    import shutil
+    import time
+
+    from osm_read_enhanced_spark.streaming.events import ProgressTicker
+
+    stream_dir = tmp_path / "tick_stream"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-000.parquet")
+    ticker = ProgressTicker().attach(spark)
+    try:
+        stream = read_events_stream(spark, str(stream_dir))
+        run_stream_to_memory(windowed_counts(stream), "ticked_counts")
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while time.time() < deadline and not any(
+            name == "ticked_counts" and rows > 0
+            for name, _, rows in ticker.records
+        ):
+            time.sleep(0.5)
+        assert any(
+            name == "ticked_counts" and rows > 0
+            for name, _, rows in ticker.records
+        ), ticker.records
+    finally:
+        ticker.detach(spark)
