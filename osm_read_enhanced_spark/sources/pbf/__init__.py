@@ -11,6 +11,7 @@ testing (SURVEY.md §5.3 policy).
 from .blocks import BlockMeta, scan_blocks
 from .decode import decode_blob, decode_header_block, decode_primitive_block
 from .reader import pbf_block_index, read_pbf, read_pbf_union
+from .sink import write_pbf_dataset
 from .writer import write_pbf
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "read_pbf",
     "read_pbf_union",
     "write_pbf",
+    "write_pbf_dataset",
 ]
