@@ -239,7 +239,9 @@ def ann_ivf_topk(
     probed lists (~nprobe/n_lists of the table) instead of the full
     table — the standard IVF trade (recall grows with nprobe).
     """
-    cent = kmeans_fit(vectors, k=n_lists, vec_col=vec_col, seed=seed)
+    # deterministic training sample: limit() without an order is scan-
+    # order-dependent; sorting by id pins the centroids across runs/plans
+    cent = kmeans_fit(vectors.orderBy(id_col), k=n_lists, vec_col=vec_col, seed=seed)
     v = ivf_assign(vectors.select(id_col, vec_col), cent, id_col, vec_col).select(
         F.col(id_col), F.col(vec_col).alias("_v"), _norm_col(vec_col).alias("_nv"),
         "list_id",
