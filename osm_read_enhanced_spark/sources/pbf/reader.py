@@ -214,7 +214,27 @@ def read_pbf_union(
     kinds = tuple(kinds)
 
     def decode_partition(batches):
+        import pyarrow as pa
+
         from .columnar import decode_blob_to_batches
+
+        # coalesce small per-block batches (ways/relations are a few
+        # hundred rows per block) before the Arrow IPC hand-off; full
+        # dense-node batches (~8k rows) pass through untouched
+        pending: list = []
+        pending_rows = 0
+
+        def flush():
+            nonlocal pending, pending_rows
+            if not pending:
+                return None
+            out = (
+                pending[0]
+                if len(pending) == 1
+                else pa.Table.from_batches(pending).combine_chunks().to_batches()[0]
+            )
+            pending, pending_rows = [], 0
+            return out
 
         for batch in batches:
             d = batch.to_pydict()
@@ -222,9 +242,22 @@ def read_pbf_union(
                 d["path"], d["block_id"], d["offset"], d["size"]
             ):
                 raw = _read_block_checked(path, block_id, offset, size)
-                yield from decode_blob_to_batches(
+                for rb in decode_blob_to_batches(
                     raw, int(block_id), mode=mode, kinds=kinds, want_info=want_info
-                )
+                ):
+                    if rb.num_rows >= 4096:
+                        out = flush()
+                        if out is not None:
+                            yield out
+                        yield rb
+                    else:
+                        pending.append(rb)
+                        pending_rows += rb.num_rows
+                        if pending_rows >= 16384:
+                            yield flush()
+        out = flush()
+        if out is not None:
+            yield out
 
     return data_blocks.mapInArrow(decode_partition, UNION_SCHEMA)
 

@@ -215,3 +215,18 @@ def test_roundtrip_row_and_columnar_agree(
     ]
     # columnar decode == row decode, field by field
     _assert_block_equal(payload, 1, "strict")
+
+
+def test_columnar_kind_pruning():
+    """Requesting a subset of kinds must skip the other groups' decode
+    entirely (plan-level pruning carried into the Arrow path)."""
+    payload = decode_blob(read_block_payload(scan_blocks(REF_PBF)[1]))
+    only_ways = pa.Table.from_batches(
+        decode_block_arrow(payload, 1, kinds=("way",))
+    ).to_pydict()
+    assert set(only_ways["kind"]) == {"way"}
+    only_nodes = pa.Table.from_batches(
+        decode_block_arrow(payload, 1, kinds=("node",))
+    ).to_pydict()
+    assert set(only_nodes["kind"]) == {"node"}
+    assert decode_block_arrow(payload, 1, kinds=()) == []

@@ -239,3 +239,34 @@ def test_knn_adaptive_matches_bruteforce_dense_cluster(spark):
     assert [(r.point_id, r.neighbor_id, r.rank) for r in a] == [
         (r.point_id, r.neighbor_id, r.rank) for r in b
     ]
+
+
+def test_salting_spreads_hot_cell_key(spark):
+    """All points in ONE hex cell (worst-case skew): salting must fan
+    the join key out to salt_buckets distinct composite keys while the
+    result stays identical to the unsalted join."""
+    from osm_read_enhanced_spark.functions import hexgrid
+    from osm_read_enhanced_spark.operators.polygons import build_polygon_layer
+
+    n = 400
+    lat = 10.0 + rng.uniform(-0.001, 0.001, n)  # ~100m spread: one res-7 cell
+    lon = 20.0 + rng.uniform(-0.001, 0.001, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(lat[i]), float(lon[i])) for i in range(n)],
+        "point_id long, lat double, lon double",
+    ).cache()
+    poly = spark.createDataFrame(
+        [(1, [9.99, 9.99, 10.01, 10.01], [19.99, 20.01, 20.01, 19.99], {})],
+        "polygon_id long, lats array<double>, lons array<double>, tags map<string,string>",
+    )
+    layer = build_polygon_layer(
+        poly.selectExpr("polygon_id", "tags", "lats", "lons"), cover_res=7
+    ).cache()
+    plain = {(r.point_id, r.polygon_id)
+             for r in pip_join_cells(pts, layer, res=7).collect()}
+    salted = {(r.point_id, r.polygon_id)
+              for r in pip_join_cells(pts, layer, res=7, salt_buckets=8).collect()}
+    assert salted == plain and len(plain) == n
+    # key spread: the points' (cell, salt) composite takes many values
+    cells = hexgrid.hex_cell(lat, lon, 7)
+    assert len(set(cells.tolist())) <= 2  # genuinely hot key
