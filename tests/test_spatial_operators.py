@@ -270,3 +270,13 @@ def test_salting_spreads_hot_cell_key(spark):
     # key spread: the points' (cell, salt) composite takes many values
     cells = hexgrid.hex_cell(lat, lon, 7)
     assert len(set(cells.tolist())) <= 2  # genuinely hot key
+
+
+def test_pip_broadcast_keep_cols_pass_through(spark, pip_setup):
+    points, layer, _ = pip_setup
+    enriched = points.withColumn("tag42", F.col("point_id") * 42)
+    with_cols = pip_join_broadcast(enriched, layer, keep_cols=("tag42",)).collect()
+    plain = {(r.point_id, r.polygon_id)
+             for r in pip_join_broadcast(points, layer).collect()}
+    assert {(r.point_id, r.polygon_id) for r in with_cols} == plain
+    assert all(r.tag42 == r.point_id * 42 for r in with_cols)
