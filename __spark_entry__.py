@@ -3,9 +3,11 @@
 ``entry`` runs the flagship spatial rollup on sf0.001; ``queries`` /
 ``oracle_sql`` expose the full catalog from
 ``osm_read_enhanced_spark.plans.queries`` (one entry per operator class
-of SURVEY.md §2 + the training-data-pipeline extras). Entries without
-an ANSI oracle (cell indexes, MinHash, image decode) return None-free
-dicts — the driver records rows-only checks for those.
+of SURVEY.md §2 + the training-data-pipeline extras). EVERY query
+carries a DuckDB oracle: live SQL mirrors where ANSI-expressible
+(including SimHash, n-gram Jaccard, connected components via recursive
+CTE) and pinned sf0.01 goldens for the rest (S2/hex cells, MinHash,
+image codecs, IVF — regenerate with tools/pin_oracles.py).
 """
 
 from __future__ import annotations
