@@ -225,7 +225,10 @@ def knn_join_adaptive(
     ).cache()
     unresolved = left.select(F.col(left_id), F.col(lat_col), F.col(lon_col))
     chunks = []
-    ring = 1
+    # start at ring 2: _covered_meters is exactly 0 at ring 1 (the 2e
+    # point-to-center slop eats the whole inradius), so a ring-1 round
+    # could never resolve anything — it would be a full wasted pass
+    ring = 2
     for _ in range(max_rounds):
         lt = _with_kring(unresolved, res, ring, lat_col, lon_col).select(
             left_id,

@@ -55,20 +55,37 @@ class _manifest_lock:
     """Serialize manifest read-modify-write across concurrent committers
     (two writers committing different partitions must not lose each
     other's commit record). O_CREAT|O_EXCL lockfile + bounded retry —
-    works on any POSIX filesystem, no fcntl needed."""
+    works on any POSIX filesystem, no fcntl needed.
 
-    def __init__(self, table_path: str, timeout_s: float = 30.0):
+    STALE-LOCK BREAKING: a holder that dies between creating and
+    removing the lock (the exact kill/rerun scenario this module
+    resumes from) must not wedge every later committer — a lock older
+    than ``stale_s`` is forcibly broken (manifest writes themselves
+    stay atomic via rename, so breaking a dead lock can at worst let
+    two live committers race, which the re-read-under-lock + rename
+    already tolerates for distinct partitions)."""
+
+    def __init__(self, table_path: str, timeout_s: float = 30.0, stale_s: float = 60.0):
         self.path = _manifest_path(table_path) + ".lock"
         self.timeout_s = timeout_s
+        self.stale_s = stale_s
 
     def __enter__(self):
         deadline = time.time() + self.timeout_s
         while True:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
                 os.close(fd)
                 return self
             except FileExistsError:
+                try:
+                    age = time.time() - os.stat(self.path).st_mtime
+                    if age > self.stale_s:
+                        os.unlink(self.path)  # break a dead holder's lock
+                        continue
+                except FileNotFoundError:
+                    continue  # holder released between open and stat
                 if time.time() > deadline:
                     raise TimeoutError(f"manifest lock held too long: {self.path}")
                 time.sleep(0.05)

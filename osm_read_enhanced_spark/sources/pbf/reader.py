@@ -308,6 +308,9 @@ def read_pbf(
     out = {}
     for kind in kinds:
         out[kind + "s"] = union.filter(F.col("kind") == kind).select(*_KIND_COLS[kind])
+    # expose the shared (possibly persisted) union so long-lived callers
+    # can release the storage themselves: dfs["union"].unpersist()
+    out["union"] = union
     return out
 
 

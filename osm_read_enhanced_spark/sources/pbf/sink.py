@@ -91,8 +91,15 @@ def _write_part_factory(out_dir: str, kind: str, per_block: int, compress: bool)
                 rows.append(d)
         if not rows:
             return
-        path = os.path.join(out_dir, f"part-{kind}-{uuid.uuid4().hex}.pbf")
-        with open(path, "wb") as f:
+        # deterministic per-partition name + atomic rename: task RETRIES
+        # overwrite the same file instead of duplicating entities under
+        # a fresh uuid, and readers never see a partial file
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{kind}-{pid:05d}.pbf")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "wb") as f:
             f.write(_frame_block("OSMHeader", build_header_block(), compress))
             for i in range(0, len(rows), per_block):
                 payload = build_primitive_block(
@@ -102,6 +109,7 @@ def _write_part_factory(out_dir: str, kind: str, per_block: int, compress: bool)
                     100, 0, 0, 1000,
                 )
                 f.write(_frame_block("OSMData", payload, compress))
+        os.replace(tmp, path)
         yield pd.DataFrame(
             {
                 "path": [path],
@@ -131,10 +139,20 @@ def write_pbf_dataset(
 ) -> DataFrame:
     """Write entity DataFrames as a directory of PBF part files.
 
-    Returns the manifest DataFrame (path, kind, n_entities, min_id,
-    max_id) — one row per written file; feed ``path`` back to
-    ``read_pbf``/``read_pbf_union`` to re-read the dataset.
+    EAGER: the write runs before this returns (no half-written sink
+    hiding behind a lazy plan); part files have deterministic
+    per-partition names written via atomic rename, so task retries
+    overwrite rather than duplicate. Returns the materialized manifest
+    DataFrame (path, kind, n_entities, min_id, max_id) — one row per
+    written file; feed ``path`` back to ``read_pbf``/``read_pbf_union``
+    to re-read the dataset.
+
+    Entity serialization is row-shaped (tags/metadata need per-block
+    string tables); tag-free array producers can use
+    ``writer.encode_dense_nodes_from_arrays`` directly.
     """
+    if nodes is None and ways is None and relations is None:
+        raise ValueError("write_pbf_dataset: no entity DataFrames given")
     os.makedirs(out_dir, exist_ok=True)
     outs = []
     for kind, df in (("node", nodes), ("way", ways), ("relation", relations)):
@@ -155,5 +173,6 @@ def write_pbf_dataset(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    # materialize: the write is the action's side effect
-    return out.cache()
+    spark = out.sparkSession
+    manifest_rows = out.collect()  # run the write NOW; manifest is tiny
+    return spark.createDataFrame(manifest_rows, out.schema)

@@ -103,7 +103,9 @@ def encode_dense_nodes_from_arrays(
     values; delta computed here via np.diff) + an already-flattened
     keys_vals index array (0-terminated runs, indices into the caller's
     string table). The vectorized writer twin of columnar decode — used
-    by array-scale fixture generation and any DataFrame→PBF sink path.
+    by array-scale fixture generation and available to tag-free/array
+    producers (the general sink keeps the row path: per-block string
+    tables for tags/metadata are dict-shaped by nature).
     """
     ids = np.asarray(ids, dtype=np.int64)
     lat_raw = np.asarray(lat_raw, dtype=np.int64)

@@ -284,3 +284,25 @@ def test_manifest_concurrent_commits(spark, tmp_path):
     assert not errs
     assert committed_partition_ids(table) == ["a", "b", "c", "d"]
     assert len(read_manifest(table)["snapshots"]) == 4
+
+
+def test_manifest_stale_lock_broken(spark, tmp_path):
+    """A lock left behind by a killed committer must not wedge resume:
+    locks older than stale_s are broken and the commit proceeds."""
+    import os
+    import time as _time
+
+    from osm_read_enhanced_spark.sources import iceberg_lite as il
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(table, exist_ok=True)
+    lock = il._manifest_path(table) + ".lock"
+    with open(lock, "w") as f:
+        f.write("dead-holder")
+    old = _time.time() - 3600
+    os.utime(lock, (old, old))
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    rec = il.write_partition(df, table, "p0")
+    assert rec["row_count"] == 2
+    assert not os.path.exists(lock)
+    assert il.committed_partition_ids(table) == ["p0"]
