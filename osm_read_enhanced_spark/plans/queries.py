@@ -1203,7 +1203,10 @@ def q41(spark, sf_dir):
         _lat(F.col("s_suppkey") * 31).alias("lat"),
         _lon(F.col("s_suppkey") * 31).alias("lon"),
     )
-    out = knn_join_adaptive(c, s, k=3, res=4, exclude_self=False)
+    # res 2 (~1.4° cells): the supplier set is globally sparse, so coarse
+    # cells reach coverage in fewer doubling rounds with bounded kring
+    # fan-out (res 4 needs ring≈64 → 12k probe cells/point)
+    out = knn_join_adaptive(c, s, k=3, res=2, exclude_self=False)
     return out.select(
         F.col("point_id").alias("c_custkey"),
         F.col("neighbor_id").alias("s_suppkey"),
