@@ -1167,6 +1167,84 @@ def q38(spark, sf_dir):
 
 
 @q(
+    "q42_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 2) AS p99,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (SURVEY §2.6 agg surface extension)",
+)
+def q42(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "q43_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "GROUPING SETS + grouping() disambiguation (SURVEY §2.6 extension beyond cube)",
+)
+def q43(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+               count(*) AS n, round(sum(l_quantity), 2) AS qty
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        li=li,
+    )
+
+
+@q(
+    "q44_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_day
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS epoch_day
+          FROM orders)
+    """,
+    "RANGE-frame window: trailing 30-day revenue per customer (SURVEY §2.7 W4 range variant)",
+)
+def q44(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d"),
+    )
+
+
+@q(
     "q41_knn_adaptive",
     # same semantics as q20 (3 nearest suppliers per customer), third
     # physical strategy: iterative ring expansion with provable-coverage
