@@ -70,3 +70,21 @@ def test_roundtrip_multiblock_counts_and_ranges(spark, tmp_path):
     b = {r.id: (r.lat, r.lon) for r in back["nodes"].filter(
         back["nodes"].id.isin(*a.keys())).collect()}
     assert a == b
+
+
+def test_sink_rerun_is_idempotent(spark, tmp_path):
+    """Deterministic per-partition filenames: re-running the write (the
+    task-retry / whole-job-retry shape) overwrites the same files
+    instead of duplicating entities."""
+    import os
+
+    pbf = str(tmp_path / "gen.pbf")
+    info = build_scale_pbf_fast(pbf, n_blocks=2, nodes_per_block=500, ways_per_block=20)
+    src = read_pbf(spark, pbf)
+    out_dir = str(tmp_path / "sinked")
+    m1 = write_pbf_dataset(out_dir, nodes=src["nodes"], files_per_kind=2).collect()
+    m2 = write_pbf_dataset(out_dir, nodes=src["nodes"], files_per_kind=2).collect()
+    assert sorted(r.path for r in m1) == sorted(r.path for r in m2)
+    files = [f for f in os.listdir(out_dir) if f.endswith(".pbf")]
+    assert len(files) == len(m1)
+    assert read_pbf(spark, [r.path for r in m2])["nodes"].count() == info["nodes"]

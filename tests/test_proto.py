@@ -67,3 +67,31 @@ def test_iter_fields_skips_unknown_and_groups():
     assert got[-1][0] == 2
     s, e = got[-1][2]
     assert buf[s:e] == b"ab"
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**64 - 1), max_size=300))
+def test_encode_packed_uvarints_vectorized_equals_scalar(vals):
+    import numpy as np
+
+    from osm_read_enhanced_spark.sources.pbf.proto import (
+        _encode_packed_uvarints_scalar,
+        decode_packed_uvarints,
+        encode_packed_uvarints,
+    )
+
+    enc = encode_packed_uvarints(np.array(vals, dtype=np.uint64))
+    assert enc == _encode_packed_uvarints_scalar(vals)
+    assert decode_packed_uvarints(enc).tolist() == vals
+
+
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=300))
+def test_encode_packed_svarints_roundtrip(vals):
+    import numpy as np
+
+    from osm_read_enhanced_spark.sources.pbf.proto import (
+        decode_packed_svarints,
+        encode_packed_svarints,
+    )
+
+    enc = encode_packed_svarints(np.array(vals, dtype=np.int64))
+    assert decode_packed_svarints(enc).tolist() == vals
