@@ -54,47 +54,52 @@ def _write_manifest_atomic(table_path: str, manifest: dict) -> None:
 class _manifest_lock:
     """Serialize manifest read-modify-write across concurrent committers
     (two writers committing different partitions must not lose each
-    other's commit record). O_CREAT|O_EXCL lockfile + bounded retry —
-    works on any POSIX filesystem, no fcntl needed.
+    other's commit record).
 
-    STALE-LOCK BREAKING: a holder that dies between creating and
-    removing the lock (the exact kill/rerun scenario this module
-    resumes from) must not wedge every later committer — a lock older
-    than ``stale_s`` is forcibly broken (manifest writes themselves
-    stay atomic via rename, so breaking a dead lock can at worst let
-    two live committers race, which the re-read-under-lock + rename
-    already tolerates for distinct partitions)."""
+    Kernel-mediated ``fcntl.flock`` on a persistent lock file: a holder
+    that dies mid-commit (the exact kill/rerun scenario this module
+    resumes from) has its lock released by the kernel automatically, so
+    there is no staleness heuristic and therefore no stale-break race —
+    two waiters can never delete each other's fresh lock, because the
+    lock file itself is never unlinked. A leftover ``.lock`` file from a
+    dead run is inert (the flock died with the process)."""
 
     def __init__(self, table_path: str, timeout_s: float = 30.0, stale_s: float = 60.0):
+        # stale_s retained for API compat; unused (flock needs no staleness)
         self.path = _manifest_path(table_path) + ".lock"
         self.timeout_s = timeout_s
-        self.stale_s = stale_s
+        self._fd: int | None = None
 
     def __enter__(self):
+        import fcntl
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        fd = os.open(self.path, os.O_CREAT | os.O_RDWR, 0o644)
         deadline = time.time() + self.timeout_s
         while True:
             try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, f"{os.getpid()} {time.time()}".encode())
-                os.close(fd)
-                return self
-            except FileExistsError:
-                try:
-                    age = time.time() - os.stat(self.path).st_mtime
-                    if age > self.stale_s:
-                        os.unlink(self.path)  # break a dead holder's lock
-                        continue
-                except FileNotFoundError:
-                    continue  # holder released between open and stat
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
                 if time.time() > deadline:
+                    os.close(fd)
                     raise TimeoutError(f"manifest lock held too long: {self.path}")
                 time.sleep(0.05)
+        try:  # holder breadcrumb for debugging only — never read back
+            os.ftruncate(fd, 0)
+            os.write(fd, f"{os.getpid()} {time.time()}".encode())
+        except OSError:
+            pass
+        self._fd = fd
+        return self
 
     def __exit__(self, *exc):
-        try:
-            os.unlink(self.path)
-        except FileNotFoundError:
-            pass
+        import fcntl
+
+        if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
         return False
 
 

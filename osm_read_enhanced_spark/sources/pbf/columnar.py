@@ -250,12 +250,17 @@ def _parse_dense_columnar(data, s, e, meta: _BlockMeta, want_info: bool):
     n = len(ids)
     lat_deg = (meta.lat_offset + meta.granularity * lats.astype(np.float64)) / 1e9
     lon_deg = (meta.lon_offset + meta.granularity * lons.astype(np.float64)) / 1e9
+    # field 10 may be split across multiple packed occurrences just like
+    # fields 1/8/9 — concatenate every span, not just the first
     kv_span = spans.get(10)
-    kv = (
-        decode_packed_uvarints(data[kv_span[0][0] : kv_span[0][1]]).astype(np.int64)
-        if kv_span
-        else _EMPTY_I64
-    )
+    if not kv_span:
+        kv = _EMPTY_I64
+    elif len(kv_span) == 1:
+        kv = decode_packed_uvarints(data[kv_span[0][0] : kv_span[0][1]]).astype(np.int64)
+    else:
+        kv = np.concatenate(
+            [decode_packed_uvarints(data[a:b]) for a, b in kv_span]
+        ).astype(np.int64)
     tag_offsets, key_idx, val_idx = _kv_runs_columnar(kv, n)
     info = None
     if want_info and spans.get(5):

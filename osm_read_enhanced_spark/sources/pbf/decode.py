@@ -363,26 +363,31 @@ def _parse_dense(blk: DecodedBlock, data: bytes, s: int, e: int, mode: str, want
         sl = dense.get((key, WT_LEN))
         return sl[0] if sl else None
 
-    ids = lats = lons = np.empty(0, dtype=np.int64)
-    if packed(1):
-        s1, e1 = packed(1)
-        ids = delta_decode(decode_packed_svarints(data[s1:e1]))
-    if packed(8):
-        s8, e8 = packed(8)
-        lats = delta_decode(decode_packed_svarints(data[s8:e8]))
-    if packed(9):
-        s9, e9 = packed(9)
-        lons = delta_decode(decode_packed_svarints(data[s9:e9]))
+    def packed_all_s(key):
+        # protobuf allows a packed field split over several length-
+        # delimited occurrences — concatenate them all before the
+        # delta cumsum (fields 1/8/9/10 alike)
+        sl = dense.get((key, WT_LEN))
+        if not sl:
+            return np.empty(0, dtype=np.int64)
+        if len(sl) == 1:
+            return decode_packed_svarints(data[sl[0][0] : sl[0][1]])
+        return np.concatenate([decode_packed_svarints(data[a:b]) for a, b in sl])
+
+    ids = delta_decode(packed_all_s(1))
+    lats = delta_decode(packed_all_s(8))
+    lons = delta_decode(packed_all_s(9))
     n = len(ids)
     # degrees = (offset + granularity × Σdeltas) / 1e9
     lat_deg = (blk.lat_offset + blk.granularity * lats.astype(np.float64)) / 1e9
     lon_deg = (blk.lon_offset + blk.granularity * lons.astype(np.float64)) / 1e9
-    kv_slice = packed(10)
-    kv = (
-        decode_packed_uvarints(data[kv_slice[0] : kv_slice[1]])
-        if kv_slice
-        else np.empty(0, dtype=np.uint64)
-    )
+    kv_spans = dense.get((10, WT_LEN))
+    if not kv_spans:
+        kv = np.empty(0, dtype=np.uint64)
+    elif len(kv_spans) == 1:
+        kv = decode_packed_uvarints(data[kv_spans[0][0] : kv_spans[0][1]])
+    else:
+        kv = np.concatenate([decode_packed_uvarints(data[a:b]) for a, b in kv_spans])
     lookup = _string_lookup(blk.strings, mode)
     tags = _tags_from_kv_runs(kv, n, lookup)
     info = None

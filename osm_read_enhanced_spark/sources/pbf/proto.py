@@ -172,9 +172,12 @@ def encode_packed_uvarints(vals) -> bytes:
         return b""
     if n < 32 or arr.dtype == object or (arr.dtype.kind not in "iu"):
         return _encode_packed_uvarints_scalar(arr)
-    a = arr.astype(np.uint64, copy=False)
     if bool((arr < 0).any() if arr.dtype.kind == "i" else False):
-        return _encode_packed_uvarints_scalar(arr)
+        # a uvarint encoder has no representation for negatives (the
+        # scalar loop would spin forever on python's arithmetic >>);
+        # callers wanting signed values must zigzag first
+        raise ValueError("encode_packed_uvarints: negative input; zigzag-encode first")
+    a = arr.astype(np.uint64, copy=False)
     if bool((a >> np.uint64(63)).any()):  # int64-shift trick needs bit63 clear
         return _encode_packed_uvarints_scalar(arr)
     # bytes needed per value: ceil(bitlen/7), min 1
@@ -198,6 +201,10 @@ def _encode_packed_uvarints_scalar(vals) -> bytes:
     out = bytearray()
     for v in vals:
         v = int(v)
+        if v < 0:
+            raise ValueError(
+                "encode_packed_uvarints: negative input; zigzag-encode first"
+            )
         while True:
             b = v & 0x7F
             v >>= 7

@@ -161,7 +161,9 @@ def _select_data_blocks(
     index — no data is scanned for skipped blocks.
     """
     if block_index is None:
-        # cache: the per-file header walk runs once, not once per action
+        # cache: the per-file header walk runs once, not once per action.
+        # Released via release_pbf(dfs) / open_pbf(...) — read_pbf threads
+        # the cached index through the returned dict for that purpose.
         block_index = pbf_block_index(spark, paths).cache()
     index = block_index
     if partitions is None:
@@ -225,13 +227,16 @@ def read_pbf_union(
         pending_rows = 0
 
         def flush():
+            # combine_chunks() may legitimately return >1 batch per
+            # column chunk (int32 offset overflow on very large string
+            # data) — yield every batch, never just [0]
             nonlocal pending, pending_rows
             if not pending:
-                return None
+                return []
             out = (
-                pending[0]
+                [pending[0]]
                 if len(pending) == 1
-                else pa.Table.from_batches(pending).combine_chunks().to_batches()[0]
+                else pa.Table.from_batches(pending).combine_chunks().to_batches()
             )
             pending, pending_rows = [], 0
             return out
@@ -246,18 +251,14 @@ def read_pbf_union(
                     raw, int(block_id), mode=mode, kinds=kinds, want_info=want_info
                 ):
                     if rb.num_rows >= 4096:
-                        out = flush()
-                        if out is not None:
-                            yield out
+                        yield from flush()
                         yield rb
                     else:
                         pending.append(rb)
                         pending_rows += rb.num_rows
                         if pending_rows >= 16384:
-                            yield flush()
-        out = flush()
-        if out is not None:
-            yield out
+                            yield from flush()
+        yield from flush()
 
     return data_blocks.mapInArrow(decode_partition, UNION_SCHEMA)
 
@@ -295,6 +296,11 @@ def read_pbf(
     Python parallelism). Repartitioning by block_id balances work; AQE
     coalescing mitigates stragglers.
     """
+    if block_index is None:
+        # create the cached index HERE (not inside _select_data_blocks) so
+        # it can be handed back for release — long-lived sessions doing
+        # many reads must not accumulate storage (ADVICE r2)
+        block_index = pbf_block_index(spark, paths).cache()
     union = read_pbf_union(
         spark, paths, kinds, mode, want_info, partitions,
         block_index, max_blocks, byte_budget,
@@ -308,10 +314,40 @@ def read_pbf(
     out = {}
     for kind in kinds:
         out[kind + "s"] = union.filter(F.col("kind") == kind).select(*_KIND_COLS[kind])
-    # expose the shared (possibly persisted) union so long-lived callers
-    # can release the storage themselves: dfs["union"].unpersist()
+    # expose the shared (possibly persisted) union + cached index so
+    # callers can release storage: release_pbf(dfs) or `with open_pbf(...)`
     out["union"] = union
+    out["_block_index"] = block_index
     return out
+
+
+def release_pbf(dfs: dict) -> None:
+    """Release all storage held by a ``read_pbf`` result: the persisted
+    decoded union and the cached block index. Safe to call twice."""
+    for key in ("union", "_block_index"):
+        df = dfs.get(key)
+        if df is not None:
+            df.unpersist()
+
+
+class open_pbf:
+    """Context-managed ``read_pbf``: storage (persisted union + cached
+    block index) is released on exit — the ergonomic path for long-lived
+    sessions doing many reads.
+
+    >>> with open_pbf(spark, path, kinds=("node", "way")) as dfs:
+    ...     dfs["nodes"].count()
+    """
+
+    def __init__(self, spark, paths, **kwargs):
+        self._dfs = read_pbf(spark, paths, **kwargs)
+
+    def __enter__(self):
+        return self._dfs
+
+    def __exit__(self, *exc):
+        release_pbf(self._dfs)
+        return False
 
 
 def count_elements(

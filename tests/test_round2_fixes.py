@@ -10,6 +10,7 @@
 - manifest commit lock: concurrent committers lose nothing
 """
 
+import os
 import threading
 
 import numpy as np
@@ -286,9 +287,11 @@ def test_manifest_concurrent_commits(spark, tmp_path):
     assert len(read_manifest(table)["snapshots"]) == 4
 
 
-def test_manifest_stale_lock_broken(spark, tmp_path):
-    """A lock left behind by a killed committer must not wedge resume:
-    locks older than stale_s are broken and the commit proceeds."""
+def test_manifest_dead_holder_lock_inert(spark, tmp_path):
+    """A lock file left behind by a killed committer must not wedge
+    resume. Under flock the dead holder's kernel lock died with the
+    process, so the leftover file is inert and the commit proceeds —
+    no staleness heuristic, hence no stale-break race."""
     import os
     import time as _time
 
@@ -304,5 +307,22 @@ def test_manifest_stale_lock_broken(spark, tmp_path):
     df = spark.createDataFrame([(1,), (2,)], "v long")
     rec = il.write_partition(df, table, "p0")
     assert rec["row_count"] == 2
-    assert not os.path.exists(lock)
     assert il.committed_partition_ids(table) == ["p0"]
+
+
+def test_manifest_lock_blocks_live_holder(tmp_path):
+    """While one process/context holds the manifest lock, a second
+    acquisition times out instead of silently proceeding."""
+    import pytest
+
+    from osm_read_enhanced_spark.sources import iceberg_lite as il
+
+    table = str(tmp_path / "tbl")
+    os.makedirs(table, exist_ok=True)
+    with il._manifest_lock(table):
+        with pytest.raises(TimeoutError):
+            with il._manifest_lock(table, timeout_s=0.3):
+                pass
+    # released → immediate re-acquire succeeds
+    with il._manifest_lock(table, timeout_s=0.3):
+        pass
