@@ -110,3 +110,71 @@ def test_minhash_batch_chunking_consistent():
     a = tx.minhash_signatures_batch(texts, n_hashes=32, k=5)
     b = tx.minhash_signatures_batch(texts, n_hashes=32, k=5, max_grid=200)
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------- clean-room shingle reimpl
+# A from-scratch per-doc implementation of the SAME published hash
+# definition (splitmix64 finalizer + polynomial accumulation), written
+# in plain python ints with no numpy and no code shared with the engine
+# core — de-circularization evidence for the q29 pin: a bug in the
+# vectorized core's indexing/segmentation cannot also be present here.
+
+def _mix64_py(h: int) -> int:
+    M = (1 << 64) - 1
+    h ^= h >> 30
+    h = (h * 0xBF58476D1CE4E5B9) & M
+    h ^= h >> 27
+    h = (h * 0x94D049BB133111EB) & M
+    h ^= h >> 31
+    return h
+
+
+def _word_hash_py(word_bytes: bytes) -> int:
+    M = (1 << 64) - 1
+    B = 1099511628211
+    acc, p = 0, 1
+    for byte in word_bytes:
+        acc = (acc + byte * p) & M
+        p = (p * B) & M
+    return _mix64_py(acc)
+
+
+def _shingles_py(text: str, k: int = 5) -> list[int]:
+    M = (1 << 64) - 1
+    G = 0x9E3779B97F4A7C15
+    words = [_word_hash_py(w) for w in text.lower().encode("utf-8").split()]
+    if len(words) >= k:
+        windows = [words[i : i + k] for i in range(len(words) - k + 1)]
+    else:
+        windows = [words]
+    out = []
+    for win in windows:
+        acc = 0
+        for wh in win:
+            acc = (acc * G + wh) & M  # Horner ≡ Σ wh_j · G^{k-1-j}
+        out.append(_mix64_py(acc) >> 33)
+    return out
+
+
+def test_shingle_core_matches_cleanroom_reimpl():
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "one",
+            "one two three four",
+            "tabs\tand\nnewlines   and  runs of spaces",
+            "unicode wörds äre fine ünd split on ascii ws only",
+            "x " * 200,
+        ]
+    )
+    flat, counts = tx.shingle_hashes_batch(texts, k=5)
+    off = 0
+    for i, t in enumerate(texts):
+        expected = _shingles_py(t, k=5)
+        got = flat[off : off + counts[i]].tolist()
+        assert got == expected, (i, t)
+        off += counts[i]
+    assert off == len(flat)
+    # all ids fit in 31 bits (exactness precondition of the p=2^31-1 grid)
+    assert int(flat.max()) < 2**31
