@@ -675,20 +675,29 @@ def q23(spark, sf_dir):
 @q(
     "q24_hex_cells",
     None,
-    "hex cell index res 7-10 + kRing-1 size (north_rule H3-shaped surface; rows-only)",
+    "TRUE icosahedral H3: res-9 cell ids, bit-op parent to res 7 "
+    "(north_rule H3 surface; pinned oracle — kernel anchored to "
+    "published H3 doc vectors, tests/test_h3core.py)",
 )
 def q24(spark, sf_dir):
-    from .udfs import hex_cell_udf
+    from .udfs import h3_parent_udf, hex_cell_udf
 
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         _lat(F.col("c_custkey")).alias("lat"),
         _lon(F.col("c_custkey")).alias("lon"),
     )
-    c7, c9 = hex_cell_udf(7), hex_cell_udf(9)
-    return c.groupBy(c7("lat", "lon").alias("cell_r7")).agg(
-        F.count("*").alias("n"),
-        F.countDistinct(c9("lat", "lon")).alias("n_r9_children"),
+    c9 = hex_cell_udf(9)
+    cell9 = c9("lat", "lon")
+    # parent via the H3 bit layout — pure Column math, no UDF
+    return (
+        c.select(cell9.alias("cell_r9"))
+        .select("cell_r9", h3_parent_udf(F.col("cell_r9"), 7).alias("cell_r7"))
+        .groupBy("cell_r7")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("cell_r9").alias("n_r9_children"),
+        )
     )
 
 
@@ -1281,10 +1290,10 @@ def q41(spark, sf_dir):
         _lat(F.col("s_suppkey") * 31).alias("lat"),
         _lon(F.col("s_suppkey") * 31).alias("lon"),
     )
-    # res 2 (~1.4° cells): the supplier set is globally sparse, so coarse
-    # cells reach coverage in fewer doubling rounds with bounded kring
-    # fan-out (res 4 needs ring≈64 → 12k probe cells/point)
-    out = knn_join_adaptive(c, s, k=3, res=2, exclude_self=False)
+    # no res argument: the operator derives the starting grid from the
+    # supplier side's measured density (globally sparse → coarse grid),
+    # replacing round 2's hand-tuned res=2
+    out = knn_join_adaptive(c, s, k=3, exclude_self=False)
     return out.select(
         F.col("point_id").alias("c_custkey"),
         F.col("neighbor_id").alias("s_suppkey"),

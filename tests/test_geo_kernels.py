@@ -166,3 +166,80 @@ def test_strtree_empty_and_single():
     t1 = STRtree(np.array([[0.0, 0.0, 1.0, 1.0]]))
     assert t1.query_point(0.5, 0.5).tolist() == [0]
     assert t1.query_point(2.0, 2.0).tolist() == []
+
+
+# ------------------------------------------------ clean-room S2 reimpl
+# De-circularizes the q23 pin: a from-scratch PER-BIT Hilbert walk
+# (plain python ints, recursive-definition constants only) must produce
+# the same leaf ids as the engine's vectorized 4-bit-lookup encoder.
+# A construction or indexing bug in the lookup tables cannot also be
+# present here. Structural anchors (face ids, level-0 layout) are
+# checked against closed-form values that bypass Hilbert code entirely.
+
+_POS_TO_IJ_SPEC = ((0, 1, 3, 2), (0, 2, 3, 1), (3, 2, 0, 1), (3, 1, 0, 2))
+_POS_TO_ORIENT_SPEC = (1, 0, 0, 3)  # SWAP, 0, 0, INVERT|SWAP
+_IJ_TO_POS_SPEC = tuple(
+    tuple(row.index(ij) for ij in range(4)) for row in _POS_TO_IJ_SPEC
+)
+
+
+def _s2_leaf_cleanroom(lat_deg: float, lon_deg: float) -> int:
+    import math
+
+    la, lo = math.radians(lat_deg), math.radians(lon_deg)
+    x = math.cos(la) * math.cos(lo)
+    y = math.cos(la) * math.sin(lo)
+    z = math.sin(la)
+    ax, ay, az = abs(x), abs(y), abs(z)
+    if ax >= ay and ax >= az:
+        f, u, v = (0, y / x, z / x) if x > 0 else (3, z / x, y / x)
+    elif ay >= az:
+        f, u, v = (1, -x / y, z / y) if y > 0 else (4, z / y, -x / y)
+    else:
+        f, u, v = (2, -x / z, -y / z) if z > 0 else (5, -y / z, -x / z)
+
+    def st(u):
+        return 0.5 * math.sqrt(1 + 3 * u) if u >= 0 else 1 - 0.5 * math.sqrt(1 - 3 * u)
+
+    def ij(s):
+        return max(0, min((1 << 30) - 1, int(math.floor(s * (1 << 30)))))
+
+    i, j = ij(st(u)), ij(st(v))
+    orient = f & 1
+    pos = 0
+    for k in range(29, -1, -1):
+        ijbits = ((i >> k) & 1) * 2 + ((j >> k) & 1)
+        p = _IJ_TO_POS_SPEC[orient][ijbits]
+        pos = (pos << 2) | p
+        orient ^= _POS_TO_ORIENT_SPEC[p]
+    return (f << 61) | (pos << 1) | 1
+
+
+def test_s2_engine_matches_cleanroom_bitwalk():
+    rng = np.random.default_rng(99)
+    zc = rng.uniform(-1, 1, 500)
+    phi = rng.uniform(-np.pi, np.pi, 500)
+    lat = np.degrees(np.arcsin(zc))
+    lon = np.degrees(phi)
+    leafs = s2.s2_cell_id(lat, lon, level=30).view(np.uint64)
+    for m in range(500):
+        exp = _s2_leaf_cleanroom(float(lat[m]), float(lon[m]))
+        assert int(leafs[m]) == exp, (m, lat[m], lon[m], hex(int(leafs[m])), hex(exp))
+
+
+def test_s2_structural_anchors():
+    """Closed-form S2 facts that bypass all Hilbert code: level-0 cell
+    of face f is (2f+1)·2^60; axis points land on their faces."""
+    cases = [
+        ((0.0, 0.0), 0),   # +x axis
+        ((0.0, 90.0), 1),  # +y
+        ((90.0, 0.0), 2),  # +z
+        ((0.0, 180.0), 3),  # -x
+        ((0.0, -90.0), 4),  # -y
+        ((-90.0, 0.0), 5),  # -z
+    ]
+    for (la, lo), face in cases:
+        leaf = s2.s2_cell_id(np.array([la]), np.array([lo]), level=30).view(np.uint64)[0]
+        assert int(leaf) >> 61 == face, (la, lo, face, hex(int(leaf)))
+        l0 = s2.cell_parent(np.array([leaf]).view(np.int64), 0).view(np.uint64)[0]
+        assert int(l0) == (2 * face + 1) << 60

@@ -90,3 +90,40 @@ def test_geotag_skew_cluster(spark):
         (F.abs(F.col("lat") - 51.5074) < 0.1) & (F.abs(F.col("lon") + 0.1078) < 0.1)
     ).count()
     assert n_cluster > 100  # ≈40% of 400
+
+
+# --------------------------------------------- de-circularized q36 evidence
+# The q36/q37 driver oracles are pinned from engine output; this test
+# provides the INDEPENDENT leg: expected channel stats computed straight
+# from the deterministic generator's raw pixel arrays (render_image),
+# never touching the codec encode/decode path the query exercises.
+
+def test_decode_stats_match_generator_analytics(spark):
+    import numpy as np
+
+    from osm_read_enhanced_spark.functions import codecs
+    from osm_read_enhanced_spark.operators.multimodal import decode_stats
+    from osm_read_enhanced_spark.sources.images import _FMTS, build_images_df, render_image
+
+    imgs = build_images_df(spark, n=64, partitions=4)
+    got = {r["image_id"]: r for r in decode_stats(imgs).collect()}
+    assert len(got) == 64
+    n_exact = 0
+    for idx in range(64):
+        raw = render_image(idx)
+        fmt = _FMTS[idx % len(_FMTS)]
+        row = got[f"img_{idx:012d}"]
+        gray = raw.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        exp = (
+            raw[..., 0].mean(), raw[..., 1].mean(), raw[..., 2].mean(), gray.std(),
+        )
+        obs = (row["mean_r"], row["mean_g"], row["mean_b"], row["std_gray"])
+        if fmt == "dct":  # lossy: PSNR≥40dB bounds the drift
+            for e, o in zip(exp, obs):
+                assert abs(e - o) < 2.0, (idx, fmt, exp, obs)
+        else:  # lossless: decode must reproduce the raw pixels exactly
+            for e, o in zip(exp, obs):
+                assert abs(e - o) < 1e-9 + 5e-3, (idx, fmt, exp, obs)
+            assert row["phash_decoded"] == codecs.phash64(raw)
+            n_exact += 1
+    assert n_exact == 48  # 3 of 4 formats are lossless

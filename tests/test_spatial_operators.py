@@ -208,7 +208,7 @@ def test_knn_adaptive_matches_bruteforce_sparse_globe(spark):
          for j in range(m)],
         "neighbor_id long, lat double, lon double",
     )
-    a = knn_join_adaptive(left, right, k=3, res=6, exclude_self=False).orderBy(
+    a = knn_join_adaptive(left, right, k=3, exclude_self=False).orderBy(
         "point_id", "rank"
     ).collect()
     b = knn_bruteforce(left, right, k=3, exclude_self=False).orderBy(
@@ -234,7 +234,7 @@ def test_knn_adaptive_matches_bruteforce_dense_cluster(spark):
         "point_id long, lat double, lon double",
     ).cache()
     right = df.select(F.col("point_id").alias("neighbor_id"), "lat", "lon")
-    a = knn_join_adaptive(df, right, k=4, res=8).orderBy("point_id", "rank").collect()
+    a = knn_join_adaptive(df, right, k=4).orderBy("point_id", "rank").collect()
     b = knn_bruteforce(df, right, k=4).orderBy("point_id", "rank").collect()
     assert [(r.point_id, r.neighbor_id, r.rank) for r in a] == [
         (r.point_id, r.neighbor_id, r.rank) for r in b
@@ -280,3 +280,27 @@ def test_pip_broadcast_keep_cols_pass_through(spark, pip_setup):
              for r in pip_join_broadcast(points, layer).collect()}
     assert {(r.point_id, r.polygon_id) for r in with_cols} == plain
     assert all(r.tag42 == r.point_id * 42 for r in with_cols)
+
+
+def test_auto_resolution_scales_with_density(spark):
+    """auto_resolution must pick a COARSE grid for a globally sparse
+    right side and a FINE grid for a dense cluster — the knob the
+    round-2 verdict flagged as hand-tuned (q41 res=2)."""
+    from osm_read_enhanced_spark.operators.knn import auto_resolution
+
+    rng2 = np.random.default_rng(3)
+    sparse = spark.createDataFrame(
+        [(int(j), float(rng2.uniform(-75, 75)), float(rng2.uniform(-170, 170)))
+         for j in range(30)],
+        "neighbor_id long, lat double, lon double",
+    )
+    dense = spark.createDataFrame(
+        [(int(j), float(48.85 + rng2.uniform(-0.03, 0.03)),
+          float(2.35 + rng2.uniform(-0.03, 0.03))) for j in range(5000)],
+        "neighbor_id long, lat double, lon double",
+    )
+    r_sparse = auto_resolution(sparse, k=3)
+    r_dense = auto_resolution(dense, k=3)
+    assert r_sparse <= 2, r_sparse
+    assert r_dense >= 7, r_dense
+    assert r_dense > r_sparse
