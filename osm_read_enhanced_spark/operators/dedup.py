@@ -17,6 +17,9 @@ All heavy text kernels run vectorized in Arrow batches
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -465,4 +468,116 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _dominant_direction(embeddings, id_col, vec_col, sample: int = 1024):
+    """Deterministic dominant direction of a bounded id-ordered sample
+    (same bounded-driver-sample pattern as IVF centroid seeding,
+    operators/ann.py): a few numpy power iterations. Used only to
+    maximize projection spread — ANY unit vector keeps the band join
+    exact."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    m = m[norms > 0] / norms[norms > 0, None]
+    u = np.ones(m.shape[1]) / math.sqrt(m.shape[1])
+    for _ in range(8):
+        u = m.T @ (m @ u)
+        n = np.linalg.norm(u)
+        if n < 1e-12:
+            u = np.ones(m.shape[1]) / math.sqrt(m.shape[1])
+            break
+        u /= n
+    return [float(x) for x in u]
+
+
+def embedding_dup_pairs_banded(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT cosine near-dup pairs, equi-join shaped — the 100×-scale
+    plan (VERDICT r2 #2, replaces the whole-table broadcast cap).
+
+    Projection banding: for unit vectors, cos(a,b) ≥ τ ⟹ ‖â−b̂‖ ≤
+    √(2−2τ) =: δ, and |⟨â−b̂, u⟩| ≤ ‖â−b̂‖ for ANY unit u — so two
+    qualifying vectors differ by at most δ in their 1-D projection
+    p = ⟨v̂, u⟩. Bucket by floor(p/δ): every qualifying pair shares a
+    bucket or sits in adjacent buckets → probe side explodes to
+    {b, b+1} and the candidate set is a plain BUCKET EQUI-JOIN (shuffle
+    on bucket id, AQE skew-split applies; no broadcast of the table, no
+    theta join, no O(n²) shuffle unless the data genuinely is all-
+    pairs-similar, which no exact algorithm can avoid). ``u`` is the
+    sample dominant direction (max spread → max pruning); correctness
+    never depends on it.
+    """
+    u = _dominant_direction(embeddings, id_col, vec_col)
+    u_lit = F.array(*[F.lit(x) for x in u])
+    delta = math.sqrt(max(2.0 - 2.0 * float(threshold), 1e-12))
+    v = embeddings.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("_v"),
+    ).withColumn(
+        "_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    ).withColumn(
+        "_p",
+        F.aggregate(
+            F.zip_with("_v", u_lit, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
+        )
+        / F.col("_n"),
+    ).withColumn("_b", F.floor(F.col("_p") / F.lit(delta)).cast("long"))
+    base = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        F.col("_b").alias("_key"),
+    )
+    probe = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_key"),
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        probe.join(base, "_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("_cos") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", F.round("_cos", round_to).alias("cosine"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def embedding_dup_pairs_exact(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    round_to: int = 6,
+    broadcast_cap_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Size-aware EXACT dispatcher: the zero-shuffle broadcast scan for
+    tables that fit comfortably in one broadcast array (count·dim·8B ≤
+    cap), the banded equi-join beyond — so the catalog plan survives a
+    100× scale-up instead of dying at the broadcast."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first()
+    dim = int(first["d"]) if first else 0
+    n = embeddings.count()
+    if n * max(dim, 1) * 8 <= broadcast_cap_bytes:
+        return embedding_dup_pairs_broadcast(
+            embeddings, id_col, vec_col, threshold, round_to
+        )
+    return embedding_dup_pairs_banded(
+        embeddings, id_col, vec_col, threshold, round_to
     )

@@ -997,12 +997,14 @@ def q32(spark, sf_dir):
     "embedding-cosine near-dup pairs (pipeline extra; SQL oracle)",
 )
 def q33(spark, sf_dir):
-    # exact, zero-shuffle plan: the table folds into one broadcast array
-    # row and each vector scans it JVM-side — no a.id < b.id theta join,
-    # no O(n²) candidate set in any shuffle (operators/dedup.py docstring)
-    from ..operators.dedup import embedding_dup_pairs_broadcast
+    # size-aware EXACT dispatcher (VERDICT r2 #2): under the broadcast
+    # cap → zero-shuffle broadcast-array scan; beyond it → projection-
+    # banded bucket equi-join (exact via ‖â−b̂‖ ≤ √(2−2τ); no broadcast
+    # of the table, AQE-skew-splittable shuffle). Both paths are exact,
+    # so the oracle is identical either way.
+    from ..operators.dedup import embedding_dup_pairs_exact
 
-    return embedding_dup_pairs_broadcast(
+    return embedding_dup_pairs_exact(
         _t(spark, sf_dir, "embeddings"), threshold=0.5, round_to=4
     )
 
