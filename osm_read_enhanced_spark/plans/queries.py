@@ -1373,6 +1373,72 @@ for _name, _sql in PINNED_ORACLES.items():
         )
 
 
+@q(
+    "q45_bucketed_assembly",
+    f"""
+    WITH refs AS (
+      SELECT l_orderkey AS way_id,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_partkey) - 1 AS pos,
+             l_partkey AS ref
+      FROM lineitem),
+    nodes AS (
+      SELECT p_partkey AS ref,
+             {_SQL_LAT.format(k="p_partkey")} AS lat,
+             {_SQL_LON.format(k="p_partkey")} AS lon
+      FROM part)
+    SELECT way_id, count(*) AS n_pts,
+           arg_min(lat, pos) AS first_lat,
+           arg_max(lon, pos) AS last_lon,
+           round(sum(lat * (pos + 1) * (pos + 1)), 4) AS lat_poschk
+    FROM refs JOIN nodes USING (ref)
+    GROUP BY way_id
+    """,
+    "bucketed co-located way assembly: nodes + way-refs bucket-written "
+    "on node id, ref→node join SHUFFLE-FREE (no Exchange under the "
+    "SortMergeJoin — the 100-TB ingest pattern), order-sensitive "
+    "assembly checksums vs live SQL oracle",
+)
+def q45(spark, sf_dir):
+    import re
+
+    from pyspark.sql import Window as W
+
+    from ..sources.bucketed import bucketed_join, write_bucketed
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    refs_tbl, nodes_tbl = f"q45_refs_{tag}", f"q45_nodes_{tag}"
+    li = _t(spark, sf_dir, "lineitem")
+    refs = li.select(
+        F.col("l_orderkey").alias("way_id"),
+        (
+            F.row_number().over(
+                W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey")
+            )
+            - 1
+        ).alias("pos"),
+        F.col("l_partkey").alias("ref"),
+    )
+    nodes = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("ref"),
+        _lat(F.col("p_partkey")).alias("lat"),
+        _lon(F.col("p_partkey")).alias("lon"),
+    )
+    # ingest-side one-time bucketing on the join key (idempotent
+    # overwrite); every later ref→node join is then Exchange-free
+    write_bucketed(refs, refs_tbl, "ref", n_buckets=8)
+    write_bucketed(nodes, nodes_tbl, "ref", n_buckets=8)
+    j = bucketed_join(spark, refs_tbl, nodes_tbl, "ref")
+    return j.groupBy("way_id").agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.min_by("lat", "pos").alias("first_lat"),
+        F.max_by("lon", "pos").alias("last_lon"),
+        F.round(
+            F.sum(F.col("lat") * (F.col("pos") + 1) * (F.col("pos") + 1)), 4
+        ).alias("lat_poschk"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline for entry(): synthesized geotagged points from
     customer keys → hex cell + slippy tile + bbox-PIP against the

@@ -32,6 +32,17 @@ def write_bucketed(
     """Write ``df`` as a bucketed (and optionally per-bucket sorted)
     parquet table registered in the session catalog. ``sort_col`` makes
     the downstream sort-merge join skip its per-task sort too."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if path is None:
+        # a stale managed-table directory from a previous session blocks
+        # re-creation (the catalog entry died with the session, the
+        # files did not) — clear it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
