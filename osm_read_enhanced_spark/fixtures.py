@@ -154,6 +154,8 @@ def build_scale_pbf_fast(
     nodes_per_block: int = 8000,
     ways_per_block: int = 400,
     seed: int = 42,
+    id_offset: int = 0,
+    way_id_offset: int = 0,
 ) -> dict:
     """Array-speed variant of build_scale_pbf: identical block SHAPE
     (8k dense nodes with sparse tags every 50th node, 400 tagged ways of
@@ -176,7 +178,10 @@ def build_scale_pbf_fast(
     tagged = np.arange(0, n, 50)
     with open(path, "wb") as f:
         f.write(_frame_block("OSMHeader", build_header_block()))
-        next_id = 1
+        # id_offset/way_id_offset: multi-file datasets need DISJOINT id
+        # spaces — colliding ids fan out every node-ref join by the file
+        # count (quadratic blowup at soak scale)
+        next_id = 1 + id_offset
         for b in range(n_blocks):
             st = _StringTable()
             k_amenity, v_cafe, k_name = st.add("amenity"), st.add("cafe"), st.add("name")
@@ -204,7 +209,7 @@ def build_scale_pbf_fast(
             ways_payload = b"".join(
                 encode_way(
                     dict(
-                        id=10_000_000 + b * ways_per_block + w,
+                        id=10_000_000 + way_id_offset + b * ways_per_block + w,
                         refs=ids[w * 10 : w * 10 + 10].tolist(),
                         tags={"highway": "residential"},
                     ),
