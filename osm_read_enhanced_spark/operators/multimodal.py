@@ -121,6 +121,29 @@ def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, schema)
 
 
+def image_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Perceptual near-duplicate image pairs: all (image_a < image_b)
+    whose 64-bit pHash columns are within ``max_hamming`` bits.
+
+    Reuses the SimHash banding machinery (``dedup.pairs_within_hamming``
+    — band count derived from the radius, recall-complete by pigeonhole)
+    on the phash column: candidate generation is a band/key equi-join
+    (shuffle on the band key, AQE-skew-splittable), verification is
+    JVM-side ``bit_count(xor)``. No pixel decode, no broadcast, no
+    all-pairs — scales like text SimHash dedup. This is the image leg of
+    the training-data dedup family (exact md5 / MinHash / SimHash /
+    embedding-cosine), per the build brief's multimodal mandate.
+    """
+    from .dedup import pairs_within_hamming
+
+    sh = images.select(F.col("image_id").alias("doc_id"), F.col("phash").alias("simhash"))
+    return pairs_within_hamming(sh, max_hamming, "doc_id").select(
+        F.col("id_a").alias("image_a"),
+        F.col("id_b").alias("image_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 def decode_external_format(images: DataFrame, fmt: str) -> DataFrame:
     """STUB for container-absent codecs (jpeg/webp/audio/video frames).
 

@@ -32,6 +32,16 @@ def assemble_way_geometries(
     The join key is the int64 node id — an equi-join Catalyst plans as
     sort-merge/shuffle-hash; pass ``broadcast_nodes=True`` for small
     extracts to collapse the shuffle.
+
+    When not broadcasting, the node side is pinned to a shuffle join
+    with a ``merge`` hint: the 4.2 GB decode soak showed AQE's runtime
+    broadcast conversion picking the node side off *compressed* map
+    output stats (delta-friendly coordinates compress ~10×), then
+    hauling >1 GB of shuffle blocks through the driver to build the
+    broadcast — `spark.driver.maxResultSize` aborts the job at exactly
+    the scale where the conversion is most wrong. At planet scale the
+    node side is 10⁹⁺ rows and never broadcastable; callers who know
+    better opt in via ``broadcast_nodes``.
     """
     refs = ways.select(
         F.col("id").alias("way_id"),
@@ -41,6 +51,8 @@ def assemble_way_geometries(
     node_side = nodes.select(F.col("id").alias("ref"), "lat", "lon")
     if broadcast_nodes:
         node_side = F.broadcast(node_side)
+    else:
+        node_side = node_side.hint("merge")
     joined = refs.join(node_side, "ref", "inner")
     return (
         joined.groupBy("way_id")

@@ -1462,3 +1462,48 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("box_id", "x", "y")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+# --- q46: perceptual-hash image near-dup --------------------------------
+# Oracle design: only the INPUT (image_id, phash) rows are pinned —
+# computed right here with numpy (render + variant + phash kernel, no
+# Spark, no engine plan). The near-dup SEMANTICS (xor / bit_count /
+# threshold / a<b ordering) run LIVE in DuckDB, so banding bugs,
+# dropped candidates, or dedup mistakes in the Spark path cannot hide.
+# The phash kernel itself is anchored independently of this query by
+# the analytic image-stat checks behind q36/q37.
+
+
+def _q46_inputs_sql() -> str:
+    from ..functions.codecs import phash64
+    from ..sources.images import render_image, variant_image
+
+    rows = []
+    for idx in range(72):
+        rows.append(f"('img_{idx:012d}', CAST({phash64(render_image(idx))} AS BIGINT))")
+        if idx % 3 == 0:
+            rows.append(
+                f"('var_{idx:012d}', CAST({phash64(variant_image(idx))} AS BIGINT))"
+            )
+    return "imgs(image_id, phash) AS (VALUES " + ", ".join(rows) + ")"
+
+
+@q(
+    "q46_image_neardup",
+    f"""
+    WITH {_q46_inputs_sql()}
+    SELECT a.image_id AS image_a, b.image_id AS image_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 6
+    """,
+    "perceptual-hash image near-dup pairs (banded hamming join over the "
+    "phash column — the image leg of the dedup family); oracle pins "
+    "inputs only, pair semantics live in DuckDB",
+)
+def q46(spark, sf_dir):
+    from ..operators.multimodal import image_neardup_pairs
+    from ..sources.images import build_images_with_variants
+
+    imgs = build_images_with_variants(spark, n_base=72, every=3, partitions=4)
+    return image_neardup_pairs(imgs, max_hamming=6)

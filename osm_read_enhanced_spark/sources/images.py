@@ -55,6 +55,74 @@ def render_image(idx: int, w: int = 32, h: int = 32) -> np.ndarray:
     return np.clip(base, 0, 255).astype(np.uint8)
 
 
+# near-duplicate variant knobs: a ±STRENGTH perturbation on one
+# PATCH×PATCH block — small enough that the 64-bit pHash moves only a
+# few bits (measured: hamming 0-2 typical, rare high-energy outliers),
+# while distinct renders differ by ≥18 bits
+VARIANT_STRENGTH, VARIANT_PATCH = 8, 12
+
+
+def variant_image(idx: int, w: int = 32, h: int = 32) -> np.ndarray:
+    """A deterministic near-duplicate of ``render_image(idx)``: the same
+    pixels with a small ±VARIANT_STRENGTH patch perturbation."""
+    img = render_image(idx, w, h).astype(np.int16)
+    rng = np.random.default_rng(5042 + idx)
+    y, x = rng.integers(0, max(h - VARIANT_PATCH, 1), 2)
+    img[y : y + VARIANT_PATCH, x : x + VARIANT_PATCH] += rng.integers(
+        -VARIANT_STRENGTH, VARIANT_STRENGTH + 1, (VARIANT_PATCH, VARIANT_PATCH, 3)
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def build_images_with_variants(
+    spark: SparkSession,
+    n_base: int,
+    every: int = 3,
+    w: int = 32,
+    h: int = 32,
+    partitions: int | None = None,
+) -> DataFrame:
+    """``n_base`` base rows plus a near-duplicate variant row for every
+    ``every``-th base (ids ``var_…`` vs ``img_…``) — the fixture for
+    perceptual-hash near-dup detection. Same distributed one-batch-per-
+    task generation as ``build_images_df``; variants share their base's
+    geotag (duplicates co-locate in the wild)."""
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                fmt = _FMTS[idx % len(_FMTS)]
+                la, lo = geotag(idx)
+                for prefix, img in (("img", render_image(idx, w, h)),) + (
+                    (("var", variant_image(idx, w, h)),) if idx % every == 0 else ()
+                ):
+                    rows.append(
+                        (
+                            f"{prefix}_{idx:012d}",
+                            bytearray(codecs.encode_image(img, fmt)),
+                            w,
+                            h,
+                            fmt,
+                            caption_for(idx, la, lo, fmt),
+                            codecs.phash64(img),
+                            la,
+                            lo,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon",
+                ],
+            )
+
+    return spark.range(0, n_base, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def geotag(idx: int) -> tuple[float, float]:
     rng = np.random.default_rng(1042 + idx)
     if rng.uniform() < CLUSTER_FRAC:

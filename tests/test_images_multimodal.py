@@ -127,3 +127,42 @@ def test_decode_stats_match_generator_analytics(spark):
             assert row["phash_decoded"] == codecs.phash64(raw)
             n_exact += 1
     assert n_exact == 48  # 3 of 4 formats are lossless
+
+
+def test_image_neardup_pairs_vs_bruteforce(spark):
+    """Operator == clean-room numpy all-pairs hamming over phashes
+    computed straight from the kernels (no Spark path involved), and the
+    planted variants are actually found."""
+    from osm_read_enhanced_spark.functions.codecs import phash64
+    from osm_read_enhanced_spark.operators.multimodal import image_neardup_pairs
+    from osm_read_enhanced_spark.sources.images import (
+        build_images_with_variants,
+        render_image,
+        variant_image,
+    )
+
+    imgs = build_images_with_variants(spark, n_base=72, every=3, partitions=4)
+    got = {
+        (r.image_a, r.image_b): r.hamming
+        for r in image_neardup_pairs(imgs, max_hamming=6).collect()
+    }
+
+    # clean-room expectation
+    ph = {}
+    for idx in range(72):
+        ph[f"img_{idx:012d}"] = phash64(render_image(idx))
+        if idx % 3 == 0:
+            ph[f"var_{idx:012d}"] = phash64(variant_image(idx))
+    ids = sorted(ph)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1")
+            if d <= 6:
+                want[(a, b)] = d
+    assert got == want
+    # the planted variants dominate the pair set
+    variant_pairs = {k for k in want if k[0].startswith("img") and k[1].startswith("var")
+                     and k[0][4:] == k[1][4:]}
+    assert len(variant_pairs) >= 20  # 24 planted; rare high-energy outliers may exceed the radius
+    assert variant_pairs <= set(want)

@@ -59,6 +59,21 @@ def test_way_assembly_preserves_ref_order(spark, osm_dfs):
     assert (road.lats, road.lons) == ([0.0, 5.0], [0.0, 5.0])
 
 
+def test_way_assembly_never_auto_broadcasts_nodes(spark, osm_dfs):
+    """Soak finding: AQE converted the refs⋈nodes join to broadcast off
+    compressed map stats and blew driver maxResultSize at 4.2 GB input.
+    The unbroadcast plan must stay a merge join regardless of stats."""
+    nodes, ways = osm_dfs
+    plan = assemble_way_geometries(ways, nodes)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    bplan = (
+        assemble_way_geometries(ways, nodes, broadcast_nodes=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in bplan, bplan
+
+
 def test_closed_way_polygons(spark, osm_dfs):
     nodes, ways = osm_dfs
     polys = closed_way_polygons(

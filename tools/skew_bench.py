@@ -84,22 +84,29 @@ def main():
     layer = build_hot_layer(spark, n_polys).persist()
     layer.count()
 
-    results = {}
-    for label, salt in (("unsalted", 0), ("salted8", 8), ("salted16", 16)):
-        t0 = time.time()
-        got = pip_join_cells(pts, layer, res=7, salt_buckets=salt).count()
-        results[label] = {"wall_s": round(time.time() - t0, 1), "rows": got}
+    # Two trials per config, order flipped between rounds, best per
+    # config — the host's sustained-load throttle (BENCH/BASELINE.md
+    # caveat 1) penalizes whoever runs later in a fixed order.
+    configs = [("unsalted", 0), ("salted8", 8), ("salted16", 16)]
+    results = {label: {"walls": [], "rows": None} for label, _ in configs}
+    for trial_order in (configs, configs[::-1]):
+        for label, salt in trial_order:
+            t0 = time.time()
+            got = pip_join_cells(pts, layer, res=7, salt_buckets=salt).count()
+            results[label]["walls"].append(round(time.time() - t0, 1))
+            results[label]["rows"] = got
+            time.sleep(20)
     rows = {v["rows"] for v in results.values()}
     assert len(rows) == 1, f"salt changed the result: {results}"
+    best = {k: min(v["walls"]) for k, v in results.items()}
     out = {
         "n_points": n,
         "n_polys": n_polys,
         "cores": cores,
         "matched_rows": rows.pop(),
-        **{k: v["wall_s"] for k, v in results.items()},
-        "speedup_salted8": round(
-            results["unsalted"]["wall_s"] / results["salted8"]["wall_s"], 2
-        ),
+        "trials": {k: v["walls"] for k, v in results.items()},
+        **best,
+        "speedup_salted16": round(best["unsalted"] / best["salted16"], 2),
     }
     print(json.dumps(out), flush=True)
     spark.stop()
