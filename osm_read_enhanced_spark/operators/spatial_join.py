@@ -210,3 +210,36 @@ def pip_join_cells(
                 yield out
 
     return cand.mapInPandas(refine, refine_schema).dropDuplicates([point_id_col, "polygon_id"])
+
+
+def pip_join_with_holes(
+    points: DataFrame,
+    outer_layer: DataFrame,
+    inner_layer: DataFrame | None,
+    strategy=None,
+    **kw,
+) -> DataFrame:
+    """Hole-aware containment → (point_id, polygon_id): inside some
+    outer ring of the polygon and NOT inside any of its inner rings
+    (multipolygon even-odd semantics for one nesting level — the OSM
+    relation outer/inner model, reference pbfParser relation roles).
+
+    Pure DataFrame composition: ``strategy`` (default
+    ``pip_join_broadcast``) runs once per ring layer, then a
+    ``left_anti`` on (point_id, polygon_id) subtracts hole hits — no
+    new refine kernel, both legs keep their plan shape (broadcast
+    R-tree or cell equi-join + AQE), and the anti-join shuffles only
+    O(|matches|) narrow rows. Build the layers by role:
+    ``build_polygon_layer(rings.filter(role == 'outer'))`` /
+    ``...('inner')`` from ``relation_multipolygons`` output.
+    """
+    if strategy is None:
+        strategy = pip_join_broadcast
+    point_id_col = kw.get("point_id_col", "point_id")
+    outer_hits = strategy(points, outer_layer, **kw)
+    if inner_layer is None:
+        return outer_hits
+    inner_hits = strategy(points, inner_layer, **kw)
+    return outer_hits.join(
+        inner_hits, [point_id_col, "polygon_id"], "left_anti"
+    )

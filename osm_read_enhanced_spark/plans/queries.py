@@ -1507,3 +1507,61 @@ def q46(spark, sf_dir):
 
     imgs = build_images_with_variants(spark, n_base=72, every=3, partitions=4)
     return image_neardup_pairs(imgs, max_hamming=6)
+
+
+@q(
+    "q47_pip_holes",
+    # q21's squares, each with a concentric rectangular hole (the OSM
+    # relation outer/inner multipolygon model); containment = in outer,
+    # not in hole. Axis-aligned, so exact ray-cast == the half-open
+    # range predicate on both legs (same equivalence q22 relies on).
+    f"""
+    WITH pts AS (
+      SELECT c_custkey, {_SQL_LAT.format(k="c_custkey")} AS lat,
+             {_SQL_LON.format(k="c_custkey")} AS lon
+      FROM customer),
+    boxes AS (
+      SELECT CAST(r_regionkey AS BIGINT) AS box_id,
+             -60.0 + r_regionkey * 25.0 AS minlat,
+             -60.0 + r_regionkey * 25.0 + 20.0 AS maxlat,
+             -150.0 + r_regionkey * 55.0 AS minlon,
+             -150.0 + r_regionkey * 55.0 + 45.0 AS maxlon
+      FROM region)
+    SELECT c_custkey, box_id
+    FROM pts JOIN boxes
+      ON lat >= minlat AND lat < maxlat AND lon >= minlon AND lon < maxlon
+     AND NOT (lat >= minlat + 5.0 AND lat < minlat + 15.0
+              AND lon >= minlon + 10.0 AND lon < minlon + 35.0)
+    """,
+    "hole-aware PIP: outer rings minus inner-ring hits via left_anti "
+    "composition (multipolygon outer/inner semantics, SURVEY §2.5 J4)",
+)
+def q47(spark, sf_dir):
+    from ..operators.spatial_join import pip_join_broadcast, pip_join_with_holes
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+    )
+    r = _t(spark, sf_dir, "region")
+    mnlat = -60.0 + F.col("r_regionkey") * 25.0
+    mnlon = -150.0 + F.col("r_regionkey") * 55.0
+
+    def square(minlat, maxlat, minlon, maxlon):
+        return (
+            F.array(minlat, minlat, maxlat, maxlat).alias("lats"),
+            F.array(minlon, maxlon, maxlon, minlon).alias("lons"),
+        )
+
+    outer = r.select(
+        F.col("r_regionkey").cast("long").alias("polygon_id"),
+        *square(mnlat, mnlat + 20.0, mnlon, mnlon + 45.0),
+    )
+    holes = r.select(
+        F.col("r_regionkey").cast("long").alias("polygon_id"),
+        *square(mnlat + 5.0, mnlat + 15.0, mnlon + 10.0, mnlon + 35.0),
+    )
+    return pip_join_with_holes(c, outer, holes, strategy=pip_join_broadcast).select(
+        F.col("point_id").alias("c_custkey"), F.col("polygon_id").alias("box_id")
+    )

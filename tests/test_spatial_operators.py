@@ -319,3 +319,51 @@ def test_auto_resolution_scales_with_density(spark):
     assert r_sparse <= 2, r_sparse
     assert r_dense >= 7, r_dense
     assert r_dense > r_sparse
+
+
+def test_pip_join_with_holes(spark):
+    """Outer square [0,10]² with hole [3,7]²: even-odd containment via
+    the left_anti composition equals the plain range predicate."""
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.spatial_join import (
+        pip_join_broadcast,
+        pip_join_cells,
+        pip_join_with_holes,
+    )
+
+    outer = spark.createDataFrame(
+        [(1, [0.0, 0.0, 10.0, 10.0], [0.0, 10.0, 10.0, 0.0])],
+        "polygon_id long, lats array<double>, lons array<double>",
+    )
+    holes = spark.createDataFrame(
+        [(1, [3.0, 3.0, 7.0, 7.0], [3.0, 7.0, 7.0, 3.0])],
+        "polygon_id long, lats array<double>, lons array<double>",
+    )
+    pts = spark.createDataFrame(
+        [(i * 100 + j, i - 2.5, j - 2.5) for i in range(16) for j in range(16)],
+        "point_id long, lat double, lon double",
+    )
+    got = {
+        r.point_id
+        for r in pip_join_with_holes(pts, outer, holes).collect()
+    }
+    want = {
+        i * 100 + j
+        for i in range(16)
+        for j in range(16)
+        if 0 <= i - 2.5 < 10 and 0 <= j - 2.5 < 10
+        and not (3 <= i - 2.5 < 7 and 3 <= j - 2.5 < 7)
+    }
+    assert got == want and len(want) > 0
+    # inner_layer=None degrades to the plain join
+    plain = {r.point_id for r in pip_join_with_holes(pts, outer, None).collect()}
+    assert plain > got
+    # works with the cell-join strategy too (build_polygon_layer adds cells)
+    ol = build_polygon_layer(outer.withColumn("tags", F.create_map().cast("map<string,string>")), cover_res=5)
+    hl = build_polygon_layer(holes.withColumn("tags", F.create_map().cast("map<string,string>")), cover_res=5)
+    cells = {
+        r.point_id
+        for r in pip_join_with_holes(pts, ol, hl, strategy=pip_join_cells, res=5).collect()
+    }
+    assert cells == want
