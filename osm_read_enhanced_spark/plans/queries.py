@@ -1565,3 +1565,97 @@ def q47(spark, sf_dir):
     return pip_join_with_holes(c, outer, holes, strategy=pip_join_broadcast).select(
         F.col("point_id").alias("c_custkey"), F.col("polygon_id").alias("box_id")
     )
+
+
+@q(
+    "q48_super_relations",
+    # region relations contain nation relations (type-2 members) which
+    # contain customer "nodes": depth-0 rows are each nation's direct
+    # members, depth-1 rows are the same members reached through the
+    # region super-relation — plain joins in SQL, the iterative
+    # explode ⋈ join expansion in Spark.
+    f"""
+    WITH custs AS (
+      SELECT c_custkey, c_nationkey,
+             {_SQL_LAT.format(k="c_custkey")} AS node_lat,
+             {_SQL_LON.format(k="c_custkey")} AS node_lon,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) - 1
+               AS morder
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT 100000 + c_nationkey AS root_rel_id, 100000 + c_nationkey AS rel_id,
+           0 AS depth, morder, c_custkey AS ref,
+           'admin_centre' AS role, 0 AS member_type, node_lat, node_lon
+    FROM custs
+    UNION ALL
+    SELECT 200000 + n_regionkey, 100000 + c_nationkey, 1, morder, c_custkey,
+           'admin_centre', 0, node_lat, node_lon
+    FROM custs JOIN nation ON n_nationkey = c_nationkey
+    """,
+    "bounded-depth super-relation resolution over a region→nation→"
+    "customer relation hierarchy (J3 deep variant; live SQL oracle)",
+)
+def q48(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from ..operators.relations import resolve_members_deep
+
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    nodes = c.select(
+        F.col("c_custkey").alias("id"),
+        _lat(F.col("c_custkey")).alias("lat"),
+        _lon(F.col("c_custkey")).alias("lon"),
+        F.create_map().cast("map<string,string>").alias("tags"),
+    )
+    member_t = "array<struct<ref:long, role:string, type:int>>"
+    nation_rels = (
+        c.groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_list("c_custkey")).alias("ks"))
+        .select(
+            (F.lit(100000) + F.col("c_nationkey")).cast("long").alias("id"),
+            F.transform(
+                "ks",
+                lambda k: F.struct(
+                    k.alias("ref"),
+                    F.lit("admin_centre").alias("role"),
+                    F.lit(0).alias("type"),
+                ),
+            ).cast(member_t).alias("members"),
+        )
+    )
+    region_rels = (
+        _t(spark, sf_dir, "nation")
+        .join(c.select("c_nationkey").distinct(), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.array_sort(F.collect_list(F.lit(100000) + F.col("n_nationkey"))).alias("ks"))
+        .select(
+            (F.lit(200000) + F.col("n_regionkey")).cast("long").alias("id"),
+            F.transform(
+                "ks",
+                lambda k: F.struct(
+                    k.cast("long").alias("ref"),
+                    F.lit("subarea").alias("role"),
+                    F.lit(2).alias("type"),
+                ),
+            ).cast(member_t).alias("members"),
+        )
+    )
+    relations = nation_rels.unionByName(region_rels)
+    ways = spark.createDataFrame(
+        [], T.StructType.fromDDL("id long, refs array<long>, tags map<string,string>")
+    )
+    out = resolve_members_deep(relations, nodes, ways, max_depth=2)
+    return out.select(
+        "root_rel_id",
+        "rel_id",
+        F.col("depth").cast("long").alias("depth"),
+        F.col("morder").cast("long").alias("morder"),
+        "ref",
+        "role",
+        F.col("member_type").cast("long").alias("member_type"),
+        F.col("node_lat"),
+        F.col("node_lon"),
+    )
