@@ -1659,3 +1659,42 @@ def q48(spark, sf_dir):
         F.col("node_lat"),
         F.col("node_lon"),
     )
+
+
+@q(
+    "q49_asof_join",
+    # oracle = DuckDB's NATIVE ASOF JOIN implementation — a fully
+    # independent second engine for the temporal-join semantics
+    """
+    WITH dim AS (
+      SELECT user_id, ts AS dim_ts, value AS state_value
+      FROM events WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           strftime(d.dim_ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_ts,
+           d.state_value
+    FROM events e ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.dim_ts
+    """,
+    "as-of join: every event picks the latest same-user 'error' state "
+    "at or before its timestamp (temporal feature lookup; oracle = "
+    "DuckDB's native ASOF JOIN)",
+)
+def q49(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("state_value")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"), dim, on=["user_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("ts"),
+        F.date_format("asof_ts", fmt).alias("asof_ts"),
+        "state_value",
+    )
