@@ -1698,3 +1698,32 @@ def q49(spark, sf_dir):
         F.date_format("asof_ts", fmt).alias("asof_ts"),
         "state_value",
     )
+
+
+@q(
+    "q50_range_join",
+    # value-band interval join: events.value against overlapping nation
+    # bands — the raw BETWEEN predicate is the whole oracle; the Spark
+    # side must reproduce it through the bucket decomposition exactly
+    """
+    SELECT e.event_id, n.n_nationkey AS band_id, e.value
+    FROM events e JOIN nation n
+      ON e.value >= n.n_nationkey * 7.0
+     AND e.value <= n.n_nationkey * 7.0 + 11.0
+    """,
+    "range (interval) join via bucket decomposition: equi-join on "
+    "floor(value/w) buckets + exact filter — never a cartesian "
+    "(engine-extra; oracle = the raw BETWEEN predicate)",
+)
+def q50(spark, sf_dir):
+    from ..operators.interval import range_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 7.0).alias("lo"),
+        (F.col("n_nationkey") * 7.0 + 11.0).alias("hi"),
+    )
+    return range_join(ev, bands, "value", "lo", "hi").select(
+        "event_id", "band_id", "value"
+    )

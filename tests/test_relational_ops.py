@@ -48,3 +48,33 @@ def test_asof_join_directions_and_tolerance(spark):
     }
     assert tol[2] == (2.0, t(10))
     assert tol[3] == (None, None)     # t20 state is 11 min stale > 5
+
+
+def test_range_join_bucket_decomposition(spark):
+    """Equals the raw BETWEEN predicate (incl. negative values and
+    empty lo>hi ranges), result invariant to bucket width, and the plan
+    is an equi-join — never a cartesian/nested-loop."""
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.interval import range_join
+
+    vals = spark.createDataFrame(
+        [(i, (i - 20) * 1.7) for i in range(40)], "vid long, v double"
+    )
+    rng = spark.createDataFrame(
+        [(1, -30.0, -10.0), (2, -5.0, 5.0), (3, 4.9, 40.0), (4, 10.0, 2.0)],
+        "rid long, lo double, hi double",  # rid 4 is empty (lo > hi)
+    )
+    want = {
+        (r.vid, r.rid)
+        for r in vals.join(
+            rng, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    }
+    assert want and not any(rid == 4 for _, rid in want)
+    for w in (None, 0.5, 100.0):
+        got_df = range_join(vals, rng, "v", "lo", "hi", bucket_width=w)
+        got = {(r.vid, r.rid) for r in got_df.collect()}
+        assert got == want, (w, got ^ want)
+    plan = range_join(vals, rng, "v", "lo", "hi")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
