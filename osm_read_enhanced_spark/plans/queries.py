@@ -1727,3 +1727,34 @@ def q50(spark, sf_dir):
     return range_join(ev, bands, "value", "lo", "hi").select(
         "event_id", "band_id", "value"
     )
+
+
+@q(
+    "q51_image_neardup_flags",
+    # inputs pinned (same numpy-computed phashes as q46), dup-flag
+    # semantics live: is_dup(a) = min hamming to any LEXICOGRAPHICALLY
+    # EARLIER image ≤ 6 (the stream's deterministic arrival order)
+    f"""
+    WITH {_q46_inputs_sql()},
+    d AS (
+      SELECT a.image_id AS image_id,
+             min(bit_count(xor(a.phash, b.phash))) AS mh
+      FROM imgs a JOIN imgs b ON b.image_id < a.image_id
+      GROUP BY a.image_id)
+    SELECT i.image_id,
+           coalesce(mh <= 6, FALSE) AS is_dup,
+           CAST(CASE WHEN mh <= 6 THEN mh END AS BIGINT) AS hamming
+    FROM imgs i LEFT JOIN d ON d.image_id = i.image_id
+    """,
+    "streaming-order image near-dup flags (batch twin of the stateful "
+    "banded stream operator; min-hamming-vs-earlier live in DuckDB)",
+)
+def q51(spark, sf_dir):
+    from ..sources.images import build_images_with_variants
+    from ..streaming.images import image_neardup_batch, neardup_flags_from_band_rows
+
+    imgs = build_images_with_variants(spark, n_base=72, every=3, partitions=4)
+    flags = neardup_flags_from_band_rows(
+        image_neardup_batch(imgs.select("image_id", "phash"), max_hamming=6)
+    )
+    return flags.select("image_id", "is_dup", F.col("hamming").cast("long").alias("hamming"))

@@ -158,3 +158,76 @@ def test_progress_ticker_listener(spark, sf_dir, tmp_path):
         ), ticker.records
     finally:
         ticker.detach(spark)
+
+
+def test_streaming_image_neardup_matches_history_bruteforce(spark, tmp_path):
+    """Stateful banded near-dup over a 3-micro-batch image stream must
+    flag exactly the images with an EARLIER image within hamming ≤ 6
+    (clean-room numpy expectation), with the true min hamming; batch
+    mode of the same operator must agree with the stream."""
+    import os
+    import shutil
+    import time
+
+    import numpy as np
+
+    from osm_read_enhanced_spark.functions.codecs import phash64
+    from osm_read_enhanced_spark.sources.images import render_image, variant_image
+    from osm_read_enhanced_spark.streaming.images import (
+        image_neardup_stream,
+        neardup_flags_from_band_rows,
+    )
+
+    ph = {}
+    for idx in range(36):
+        ph[f"img_{idx:04d}"] = phash64(render_image(idx))
+        if idx % 3 == 0:
+            ph[f"var_{idx:04d}"] = phash64(variant_image(idx))
+    ids = sorted(ph)
+    # clean-room expectation: min hamming vs all EARLIER (smaller-id) images
+    expect = {}
+    for i, a in enumerate(ids):
+        if i == 0:
+            expect[a] = (False, None)
+            continue
+        dists = [bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") for b in ids[:i]]
+        m = min(dists)
+        expect[a] = (m <= 6, m if m <= 6 else None)
+
+    schema = "image_id string, phash long"
+    rows = [(i, ph[i]) for i in ids]
+    d = tmp_path / "img_stream"
+    d.mkdir()
+    thirds = [rows[:16], rows[16:32], rows[32:]]
+    now = time.time()
+    for i, chunk in enumerate(thirds):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dest = d / f"batch-{i}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (now - 100 + i * 30, now - 100 + i * 30))
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = (
+        image_neardup_stream(stream, max_hamming=6)
+        .writeStream.format("memory")
+        .queryName("img_neardup_bands")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flags = neardup_flags_from_band_rows(spark.sql("SELECT * FROM img_neardup_bands"))
+    got = {r.image_id: (r.is_dup, r.hamming) for r in flags.collect()}
+    assert got == expect
+    assert sum(1 for v in got.values() if v[0]) >= 10  # the planted variants
+
+    # the batch twin (same core, applyInPandas, empty initial state)
+    # must agree
+    from osm_read_enhanced_spark.streaming.images import image_neardup_batch
+
+    batch_df = spark.createDataFrame(rows, schema)
+    bflags = neardup_flags_from_band_rows(image_neardup_batch(batch_df, max_hamming=6))
+    bgot = {r.image_id: (r.is_dup, r.hamming) for r in bflags.collect()}
+    assert bgot == expect
