@@ -36,6 +36,9 @@ HEADLINE = [
     "q25_exact_dedup",
     "q26_token_count",
     "q34_windowed_events",
+    # round-3 operator heads: temporal + interval joins (events table)
+    "q49_asof_join",
+    "q50_range_join",
 ]
 
 
