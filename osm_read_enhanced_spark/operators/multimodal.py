@@ -144,6 +144,77 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def sample_frames(videos: DataFrame, every: int = 2, out_fmt: str = "ppm") -> DataFrame:
+    """Every ``every``-th frame of each video → one row per sampled
+    frame (video_id, frame_index, frame_bytes, w, h) — the brief's
+    frame-sample operator over an opaque binary column.
+
+    Random-access frame decode (``av.decode_video_frame``: the header
+    indexes the byte range) means work scales with SAMPLED frames, not
+    container size — the property a real frame sampler must have. Runs
+    inside Arrow batches; bytes never touch per-row Python rows."""
+    from ..functions import av
+
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("frame_bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for vid, data, n in zip(pdf["video_id"], pdf["bytes"], pdf["n_frames"]):
+                for i in range(0, int(n), every):
+                    frame = av.decode_video_frame(data, i)
+                    h, w = frame.shape[:2]
+                    rows.append(
+                        (vid, i, bytearray(codecs.encode_image(frame, out_fmt)), w, h)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_index", "frame_bytes", "w", "h"]
+            )
+
+    return videos.select("video_id", "bytes", "n_frames").mapInPandas(run, schema)
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """WAV payloads → per-clip features (rms, zcr, spectral_centroid_hz)
+    — the brief's audio feature-extract leg, real RIFF/WAVE decode +
+    standard feature definitions (functions/av.py), Arrow-batched."""
+    from ..functions import av
+
+    schema = T.StructType(
+        [
+            T.StructField("clip_id", T.StringType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("zcr", T.DoubleType(), False),
+            T.StructField("centroid_hz", T.DoubleType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for cid, data in zip(pdf["clip_id"], pdf["bytes"]):
+                pcm, sr = av.decode_wav(data)
+                rows.append(
+                    (
+                        cid,
+                        av.audio_rms(pcm),
+                        av.audio_zcr(pcm),
+                        av.audio_spectral_centroid(pcm, sr),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "rms", "zcr", "centroid_hz"])
+
+    return clips.select("clip_id", "bytes").mapInPandas(run, schema)
+
+
 def decode_external_format(images: DataFrame, fmt: str) -> DataFrame:
     """STUB for container-absent codecs (jpeg/webp/audio/video frames).
 

@@ -23,6 +23,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PI = math.pi
 
@@ -1758,3 +1759,106 @@ def q51(spark, sf_dir):
         image_neardup_batch(imgs.select("image_id", "phash"), max_hamming=6)
     )
     return flags.select("image_id", "is_dup", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- q52/q53: A/V multimodal legs ---------------------------------------
+# Oracle evidence model (same standard as q36/q37/q46): expected values
+# are computed IN-PROCESS from the generator's RAW arrays — no video
+# container, no WAV bytes, no Spark — so the engine's full byte path
+# (encode container → Arrow batch → random-access frame decode /
+# RIFF walk → feature kernels) is checked against data that never went
+# through it. Kernel definitions themselves are anchored analytically
+# in tests (pure-tone RMS=A/√2, ZCR=2f/sr, centroid=f; lossless frame
+# round trips).
+
+
+def _q52_expected_sql() -> str:
+    import numpy as np
+
+    from ..sources.av import render_video
+
+    rows = []
+    for idx in range(12):
+        frames = render_video(idx, n_frames=8)
+        for i in range(0, 8, 2):
+            m = float(frames[i].astype(np.float64).mean())
+            rows.append(f"('vid_{idx:08d}', {i}, {m!r})")
+    return "expected(video_id, frame_index, mean_rgb) AS (VALUES " + ", ".join(rows) + ")"
+
+
+@q(
+    "q52_frame_sample",
+    f"""
+    WITH {_q52_expected_sql()}
+    SELECT video_id, CAST(frame_index AS BIGINT) AS frame_index,
+           CAST(mean_rgb AS DOUBLE) AS mean_rgb
+    FROM expected
+    """,
+    "video frame sampling (every 2nd frame, random-access container "
+    "decode) + per-frame mean; oracle = stats from the generator's raw "
+    "frames, bypassing the container/codec path entirely",
+)
+def q52(spark, sf_dir):
+    import numpy as np
+
+    from ..operators.multimodal import sample_frames
+    from ..sources.av import build_videos_df
+
+    vids = build_videos_df(spark, n=12, n_frames=8, partitions=4)
+    frames = sample_frames(vids, every=2)
+
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("frame_index", T.LongType(), False),
+            T.StructField("mean_rgb", T.DoubleType(), False),
+        ]
+    )
+
+    def stats(it):
+        import pandas as pd
+
+        from ..functions import codecs
+
+        for pdf in it:
+            rows = [
+                (vid, int(i), float(codecs.decode_image(b, "ppm").astype(np.float64).mean()))
+                for vid, i, b in zip(pdf["video_id"], pdf["frame_index"], pdf["frame_bytes"])
+            ]
+            yield pd.DataFrame(rows, columns=["video_id", "frame_index", "mean_rgb"])
+
+    return frames.mapInPandas(stats, schema)
+
+
+def _q53_expected_sql() -> str:
+    from ..functions.av import audio_rms, audio_spectral_centroid, audio_zcr
+    from ..sources.av import render_tone
+
+    rows = []
+    for idx in range(24):
+        pcm = render_tone(idx)
+        rows.append(
+            f"('clip_{idx:08d}', {audio_rms(pcm)!r}, {audio_zcr(pcm)!r}, "
+            f"{audio_spectral_centroid(pcm, 8000)!r})"
+        )
+    return "expected(clip_id, rms, zcr, centroid_hz) AS (VALUES " + ", ".join(rows) + ")"
+
+
+@q(
+    "q53_audio_features",
+    f"""
+    WITH {_q53_expected_sql()}
+    SELECT clip_id, CAST(rms AS DOUBLE) AS rms, CAST(zcr AS DOUBLE) AS zcr,
+           CAST(centroid_hz AS DOUBLE) AS centroid_hz FROM expected
+    """,
+    "audio feature extraction (real RIFF/WAVE PCM16 decode → RMS / "
+    "zero-crossing rate / spectral centroid); oracle = features from "
+    "the generator's raw samples, bypassing the WAV byte path; kernels "
+    "anchored analytically on pure tones in tests",
+)
+def q53(spark, sf_dir):
+    from ..operators.multimodal import audio_features
+    from ..sources.av import build_audio_df
+
+    clips = build_audio_df(spark, n=24, partitions=4)
+    return audio_features(clips)
