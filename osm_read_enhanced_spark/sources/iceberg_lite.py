@@ -189,11 +189,36 @@ def write_partitioned(
     return records
 
 
-def read_table(spark: SparkSession, table_path: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, table_path: str, as_of_snapshot: int | None = None
+) -> DataFrame:
     """Read only committed partitions (manifest-driven; uncommitted tmp
-    dirs are invisible)."""
+    dirs are invisible).
+
+    ``as_of_snapshot`` = time travel over the snapshot log: read the
+    table as it stood after that snapshot id — only partitions whose
+    commit snapshot is ≤ the requested id are visible. Honest scope
+    (documented deviation from full Iceberg): partition visibility is
+    versioned; a partition RE-committed later reads its current files
+    (data files are not retained per-snapshot).
+    """
     manifest = read_manifest(table_path)
-    parts = sorted(manifest["partitions"].keys())
+    if as_of_snapshot is None:
+        parts = sorted(manifest["partitions"].keys())
+    else:
+        known = {s["snapshot_id"] for s in manifest["snapshots"]}
+        if as_of_snapshot not in known:
+            raise ValueError(
+                f"{table_path}: unknown snapshot {as_of_snapshot} (have {sorted(known)})"
+            )
+        parts = sorted(
+            {
+                str(s["committed"])
+                for s in manifest["snapshots"]
+                if s["snapshot_id"] <= as_of_snapshot
+            }
+            & set(manifest["partitions"].keys())
+        )
     if not parts:
         raise ValueError(f"{table_path}: no committed partitions")
     paths = [os.path.join(table_path, f"part={p}") for p in parts]

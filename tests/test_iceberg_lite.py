@@ -68,3 +68,24 @@ def test_uncommitted_tmp_invisible(spark, tmp_path):
     # a crashed writer leaves a tmp dir behind — reader must ignore it
     os.makedirs(os.path.join(table, "_tmp-b-deadbeef"))
     assert il.read_table(spark, table).count() == 10
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """as_of_snapshot reads the table as committed through that
+    snapshot id; later commits are invisible; unknown ids raise."""
+    import pytest
+
+    table = str(tmp_path / "t6")
+    il.write_partition(_df(spark, 0, 10).drop("bucket"), table, "a")
+    il.write_partition(_df(spark, 100, 120).drop("bucket"), table, "b")
+    il.write_partition(_df(spark, 200, 230).drop("bucket"), table, "c")
+    assert il.read_table(spark, table).count() == 60
+    assert il.read_table(spark, table, as_of_snapshot=1).count() == 10
+    assert il.read_table(spark, table, as_of_snapshot=2).count() == 30
+    assert il.read_table(spark, table, as_of_snapshot=3).count() == 60
+    snap2_ids = {
+        r.id for r in il.read_table(spark, table, as_of_snapshot=2).collect()
+    }
+    assert snap2_ids == set(range(0, 10)) | set(range(100, 120))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        il.read_table(spark, table, as_of_snapshot=99)
