@@ -239,3 +239,37 @@ def relation_multipolygons(
         )
 
     return joined.groupBy("rel_id").applyInPandas(stitch, out_schema)
+
+
+def simplify_geometries(way_geoms: DataFrame, eps: float) -> DataFrame:
+    """Douglas-Peucker simplification of assembled way geometries
+    (functions/simplify.py): per-row numpy kernel inside Arrow batches —
+    embarrassingly parallel, no shuffle, output rows ≤ input rows.
+    Adds n_points_in / n_points_out next to the simplified arrays."""
+    from ..functions.simplify import dp_keep_mask
+
+    schema = T.StructType(
+        [
+            T.StructField("way_id", T.LongType(), False),
+            T.StructField("lats", T.ArrayType(T.DoubleType()), False),
+            T.StructField("lons", T.ArrayType(T.DoubleType()), False),
+            T.StructField("n_points_in", T.IntegerType(), False),
+            T.StructField("n_points_out", T.IntegerType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for wid, la, lo in zip(pdf["way_id"], pdf["lats"], pdf["lons"]):
+                la = np.asarray(la, dtype=np.float64)
+                lo = np.asarray(lo, dtype=np.float64)
+                m = dp_keep_mask(la, lo, eps)
+                rows.append(
+                    (int(wid), la[m].tolist(), lo[m].tolist(), len(la), int(m.sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["way_id", "lats", "lons", "n_points_in", "n_points_out"]
+            )
+
+    return way_geoms.select("way_id", "lats", "lons").mapInPandas(run, schema)

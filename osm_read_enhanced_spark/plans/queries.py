@@ -1862,3 +1862,105 @@ def q53(spark, sf_dir):
 
     clips = build_audio_df(spark, n=24, partitions=4)
     return audio_features(clips)
+
+
+# --- q54: Douglas-Peucker simplification --------------------------------
+
+
+def _q54_expected_sql(eps: float = 20.0) -> str:
+    """Expected per-group simplification stats computed by a CLEAN-ROOM
+    RECURSIVE Douglas-Peucker implementation written here — independent
+    of the engine kernel's iterative numpy formulation
+    (functions/simplify.py) — over the same fixed synthesized
+    polylines. Input is sf-independent (pure integer-derived coords)."""
+
+    def perp(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        if dx == 0.0 and dy == 0.0:
+            return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+        return abs(dy * px - dx * py + bx * ay - by * ax) / (dx * dx + dy * dy) ** 0.5
+
+    def rec(lats, lons, i0, i1, keep):
+        if i1 - i0 < 2:
+            return
+        best, bj = -1.0, -1
+        for j in range(i0 + 1, i1):
+            d = perp(lons[j], lats[j], lons[i0], lats[i0], lons[i1], lats[i1])
+            if d > best:
+                best, bj = d, j
+        if best > eps:
+            keep.add(bj)
+            rec(lats, lons, i0, bj, keep)
+            rec(lats, lons, bj, i1, keep)
+
+    rows = []
+    for g in range(10):
+        keys = [g * 1000 + i for i in range(120)]
+        lats = [((k * 9973) % 1700000) / 10000.0 - 85.0 for k in keys]
+        lons = [((k * 7919) % 3600000) / 10000.0 - 180.0 for k in keys]
+        keep = {0, len(keys) - 1}
+        rec(lats, lons, 0, len(keys) - 1, keep)
+        chk = sum((i + 1) * (i + 1) for i in keep)
+        rows.append(f"({g}, {len(keys)}, {len(keep)}, {chk})")
+    return (
+        "expected(group_id, n_in, n_out, kept_chk) AS (VALUES " + ", ".join(rows) + ")"
+    )
+
+
+@q(
+    "q54_dp_simplify",
+    f"""
+    WITH {_q54_expected_sql()}
+    SELECT CAST(group_id AS BIGINT) AS group_id, CAST(n_in AS BIGINT) AS n_in,
+           CAST(n_out AS BIGINT) AS n_out, CAST(kept_chk AS BIGINT) AS kept_chk
+    FROM expected
+    """,
+    "Douglas-Peucker polyline simplification (iterative numpy kernel); "
+    "oracle = a clean-room RECURSIVE DP implementation over the same "
+    "fixed integer-derived polylines — two independent codings of the "
+    "published algorithm must agree point-for-point",
+)
+def q54(spark, sf_dir):
+    from ..functions.simplify import dp_keep_mask
+
+    pts = spark.range(10 * 1000).select(
+        (F.col("id") / 1000).cast("long").alias("group_id"),
+        (F.col("id") % 1000).alias("i"),
+    ).filter(F.col("i") < 120).select(
+        "group_id",
+        F.col("i").cast("int").alias("i"),
+        _lat(F.col("group_id") * 1000 + F.col("i")).alias("lat"),
+        _lon(F.col("group_id") * 1000 + F.col("i")).alias("lon"),
+    )
+    lines = pts.groupBy("group_id").agg(
+        F.array_sort(F.collect_list(F.struct("i", "lat", "lon"))).alias("_p")
+    ).select(
+        "group_id",
+        F.transform("_p", lambda p: p.lat).alias("lats"),
+        F.transform("_p", lambda p: p.lon).alias("lons"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("group_id", T.LongType(), False),
+            T.StructField("n_in", T.LongType(), False),
+            T.StructField("n_out", T.LongType(), False),
+            T.StructField("kept_chk", T.LongType(), False),
+        ]
+    )
+
+    def run(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for gid, la, lo in zip(pdf["group_id"], pdf["lats"], pdf["lons"]):
+                la = np.asarray(la, dtype=np.float64)
+                lo = np.asarray(lo, dtype=np.float64)
+                m = dp_keep_mask(la, lo, 20.0)
+                idx = np.flatnonzero(m) + 1
+                rows.append((int(gid), len(la), int(m.sum()), int((idx * idx).sum())))
+            yield pd.DataFrame(rows, columns=["group_id", "n_in", "n_out", "kept_chk"])
+
+    return lines.mapInPandas(run, schema)

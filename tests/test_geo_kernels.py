@@ -243,3 +243,49 @@ def test_s2_structural_anchors():
         assert int(leaf) >> 61 == face, (la, lo, face, hex(int(leaf)))
         l0 = s2.cell_parent(np.array([leaf]).view(np.int64), 0).view(np.uint64)[0]
         assert int(l0) == (2 * face + 1) << 60
+
+
+def test_dp_simplify_matches_cleanroom_recursion():
+    """Iterative numpy DP == an independent recursive coding on random
+    scatter at several tolerances; endpoints always kept; idempotent."""
+    import numpy as np
+
+    from osm_read_enhanced_spark.functions.simplify import dp_keep_mask, dp_simplify
+
+    def perp(px, py, ax, ay, bx, by):
+        dx, dy = bx - ax, by - ay
+        if dx == 0.0 and dy == 0.0:
+            return ((px - ax) ** 2 + (py - ay) ** 2) ** 0.5
+        return abs(dy * px - dx * py + bx * ay - by * ax) / (dx * dx + dy * dy) ** 0.5
+
+    def rec(lats, lons, i0, i1, keep, eps):
+        if i1 - i0 < 2:
+            return
+        best, bj = -1.0, -1
+        for j in range(i0 + 1, i1):
+            d = perp(lons[j], lats[j], lons[i0], lats[i0], lons[i1], lats[i1])
+            if d > best:
+                best, bj = d, j
+        if best > eps:
+            keep.add(bj)
+            rec(lats, lons, i0, bj, keep, eps)
+            rec(lats, lons, bj, i1, keep, eps)
+
+    rng = np.random.default_rng(11)
+    for seed in range(5):
+        n = 80
+        lats = np.cumsum(rng.normal(0, 1.0, n))
+        lons = np.cumsum(rng.normal(0, 1.0, n))
+        for eps in (0.5, 2.0, 8.0):
+            keep = {0, n - 1}
+            rec(lats.tolist(), lons.tolist(), 0, n - 1, keep, eps)
+            m = dp_keep_mask(lats, lons, eps)
+            assert set(np.flatnonzero(m)) == keep, (seed, eps)
+            sl, so = dp_simplify(lats, lons, eps)
+            s2l, s2o = dp_simplify(sl, so, eps)
+            assert np.array_equal(sl, s2l) and np.array_equal(so, s2o)  # idempotent
+    # hand fixture: a square wave at amplitude 1 collapses at eps>1
+    la = np.array([0.0, 1.0, 0.0, 1.0, 0.0])
+    lo = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    assert dp_keep_mask(la, lo, 1.5).sum() == 2
+    assert dp_keep_mask(la, lo, 0.5).sum() == 5

@@ -367,3 +367,25 @@ def test_pip_join_with_holes(spark):
         for r in pip_join_with_holes(pts, ol, hl, strategy=pip_join_cells, res=5).collect()
     }
     assert cells == want
+
+
+def test_simplify_geometries_operator(spark):
+    from osm_read_enhanced_spark.functions.simplify import dp_simplify
+    from osm_read_enhanced_spark.operators.polygons import simplify_geometries
+
+    geoms = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 2.0, 3.0, 4.0]),
+            (2, [0.0, 0.01, 0.02, 10.0], [0.0, 1.0, 2.0, 3.0]),
+        ],
+        "way_id long, lats array<double>, lons array<double>",
+    )
+    got = {r.way_id: r for r in simplify_geometries(geoms, eps=1.5).collect()}
+    for wid, la, lo in ((1, [0.0, 1.0, 0.0, 1.0, 0.0], [0.0, 1.0, 2.0, 3.0, 4.0]),
+                        (2, [0.0, 0.01, 0.02, 10.0], [0.0, 1.0, 2.0, 3.0])):
+        import numpy as np
+
+        sl, so = dp_simplify(np.array(la), np.array(lo), 1.5)
+        r = got[wid]
+        assert r.lats == sl.tolist() and r.lons == so.tolist()
+        assert r.n_points_in == len(la) and r.n_points_out == len(sl)
