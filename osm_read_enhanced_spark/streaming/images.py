@@ -14,9 +14,11 @@ band row matched — a plain downstream aggregation
 streaming query stays single-stateful-stage.
 
 State growth is the honest cost of exact dedup-against-all-history:
-per-band state is the band's phash list (16 bytes/image/band). At
-planet scale you bound it with per-key TTL eviction or an external
-store; semantics here are the exact ones the batch oracle can check.
+per-band state is the band's phash list (16 bytes/image/band).
+``max_state_per_band`` switches to bounded sliding-recency semantics
+(keep only the N most recent entries per band — O(bands × N) state
+forever); an external KV store is the remaining alternative when
+exact-vs-all-history must survive an unbounded stream.
 """
 
 from __future__ import annotations
@@ -66,10 +68,12 @@ def explode_phash_bands(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     ).select("image_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
 
 
-def _band_group_scan(pdf, seen_ph, seen_ids, max_hamming):
+def _band_group_scan(pdf, seen_ph, seen_ids, max_hamming, max_state=None):
     """Core per-(band,key) scan: rows in image_id order probe the
     seen-so-far phash list, then join it. Mutates/returns the seen
-    lists; returns the output frame for this group."""
+    lists; returns the output frame for this group. ``max_state``
+    bounds the per-band history to the most recent entries (recency
+    eviction — the bounded-state mode)."""
     import numpy as np
     import pandas as pd
 
@@ -92,6 +96,9 @@ def _band_group_scan(pdf, seen_ph, seen_ids, max_hamming):
             out_ham.append(None)
         seen_ph.append(int(ph))
         seen_ids.append(str(img_id))
+        if max_state is not None and len(seen_ph) > max_state:
+            del seen_ph[: len(seen_ph) - max_state]
+            del seen_ids[: len(seen_ids) - max_state]
     return pd.DataFrame(
         {
             "image_id": pdf["image_id"].to_numpy(),
@@ -102,7 +109,9 @@ def _band_group_scan(pdf, seen_ph, seen_ids, max_hamming):
     )
 
 
-def image_neardup_stream(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+def image_neardup_stream(
+    images: DataFrame, max_hamming: int = 6, max_state_per_band: int | None = None
+) -> DataFrame:
     """Streaming (image_id, phash) → per-band match rows
     (image_id, band, matched_id, hamming) against all earlier arrivals.
 
@@ -111,6 +120,12 @@ def image_neardup_stream(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     ``image_neardup_batch`` is the batch twin running the same core
     (PySpark's applyInPandasWithState is streaming-only) — the
     stream≡batch test pins their agreement.
+
+    ``max_state_per_band`` switches exact-vs-all-history semantics to
+    bounded sliding-recency dedup: each band keeps only its most recent
+    N entries, so state is O(bands × N) forever — the knob that makes
+    an unbounded stream sustainable when "duplicate of something
+    recent" is the semantics the pipeline actually needs.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -123,7 +138,7 @@ def image_neardup_stream(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         else:
             seen_ph, seen_ids = [], []
         pdf = pd.concat([p[["image_id", "phash", "band"]] for p in pdf_iter])
-        out = _band_group_scan(pdf, seen_ph, seen_ids, max_hamming)
+        out = _band_group_scan(pdf, seen_ph, seen_ids, max_hamming, max_state_per_band)
         state.update((seen_ph, seen_ids))
         yield out
 

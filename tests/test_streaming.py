@@ -231,3 +231,55 @@ def test_streaming_image_neardup_matches_history_bruteforce(spark, tmp_path):
     bflags = neardup_flags_from_band_rows(image_neardup_batch(batch_df, max_hamming=6))
     bgot = {r.image_id: (r.is_dup, r.hamming) for r in bflags.collect()}
     assert bgot == expect
+
+
+def test_streaming_image_neardup_bounded_state_evicts_oldest(spark, tmp_path):
+    """max_state_per_band=1 keeps only the most recent entry per band:
+    with identical phashes A→B→C across micro-batches, C must match B —
+    unbounded mode would match A (argmin picks the FIRST entry), so a
+    B-match proves A was evicted."""
+    import os
+    import shutil
+    import time
+
+    from osm_read_enhanced_spark.streaming.images import (
+        image_neardup_batch,
+        image_neardup_stream,
+        neardup_flags_from_band_rows,
+    )
+
+    schema = "image_id string, phash long"
+    P = 0x123456789ABCDEF
+    batches = [[("a", P)], [("b", P)], [("c", P)]]
+    d = tmp_path / "bounded"
+    d.mkdir()
+    now = time.time()
+    for i, chunk in enumerate(batches):
+        tmp = tmp_path / f"bw{i}"
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dest = d / f"batch-{i}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (now - 100 + i * 30, now - 100 + i * 30))
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = (
+        image_neardup_stream(stream, max_hamming=6, max_state_per_band=1)
+        .writeStream.format("memory")
+        .queryName("bounded_neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    flags = neardup_flags_from_band_rows(spark.sql("SELECT * FROM bounded_neardup"))
+    got = {r.image_id: (r.is_dup, r.dup_of) for r in flags.collect()}
+    assert got == {"a": (False, None), "b": (True, "a"), "c": (True, "b")}
+    # batch twin honors the same cap within one invocation
+    bflags = neardup_flags_from_band_rows(
+        image_neardup_batch(
+            spark.createDataFrame([r for b in batches for r in b], schema),
+            max_hamming=6,
+        )
+    )
+    bgot = {r.image_id: r.dup_of for r in bflags.collect()}
+    assert bgot == {"a": None, "b": "a", "c": "a"}  # unbounded: argmin → first
