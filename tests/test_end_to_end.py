@@ -84,3 +84,72 @@ def test_reader_budgets(spark, pipeline):
     capped = read_pbf(spark, pbf, kinds=("node",), byte_budget=3000)
     n_capped = capped["nodes"].count()
     assert 0 < n_capped < n_full
+
+
+def test_multipolygon_hole_pip_end_to_end(spark, tmp_path):
+    """PBF → relation multipolygon with an INNER ring → role-split
+    polygon layers → hole-aware PIP: points inside the hole (an island
+    in a lake) must not be 'in the lake'; ring points must be."""
+    from osm_read_enhanced_spark.fixtures import write_pbf
+    from osm_read_enhanced_spark.operators.spatial_join import pip_join_with_holes
+
+    def square(cx, cy, half):
+        return [
+            (cy - half, cx - half), (cy - half, cx + half),
+            (cy + half, cx + half), (cy + half, cx - half),
+        ]
+
+    cx, cy = 10.0, 50.0
+    outer_pts = square(cx, cy, 0.5)
+    inner_pts = square(cx, cy, 0.2)
+    nodes = [
+        dict(id=1 + i, lat=la, lon=lo, tags={})
+        for i, (la, lo) in enumerate(outer_pts)
+    ] + [
+        dict(id=101 + i, lat=la, lon=lo, tags={})
+        for i, (la, lo) in enumerate(inner_pts)
+    ]
+    ways = [
+        dict(id=500, refs=[1, 2, 3, 4, 1], tags={}),
+        dict(id=501, refs=[101, 102, 103, 104, 101], tags={}),
+    ]
+    relations = [
+        dict(
+            id=9000,
+            tags={"type": "multipolygon", "natural": "water", "name": "Lake"},
+            members=[
+                {"ref": 500, "role": "outer", "type": 1},
+                {"ref": 501, "role": "inner", "type": 1},
+            ],
+        )
+    ]
+    pbf = str(tmp_path / "lake.pbf")
+    write_pbf(pbf, [dict(nodes=nodes), dict(ways=ways), dict(relations=relations)])
+
+    dfs = read_pbf(spark, pbf)
+    geoms = assemble_way_geometries(dfs["ways"], dfs["nodes"], broadcast_nodes=True)
+    rings = relation_multipolygons(dfs["relations"], geoms).cache()
+    outer_layer = build_polygon_layer(
+        rings.filter(F.col("role") == "outer").select("polygon_id", "tags", "lats", "lons"),
+        cover_res=6,
+    )
+    inner_layer = build_polygon_layer(
+        rings.filter(F.col("role") == "inner").select("polygon_id", "tags", "lats", "lons"),
+        cover_res=6,
+    )
+    pts = spark.createDataFrame(
+        [
+            (1, cy, cx),               # island centre — inside the hole
+            (2, cy + 0.3, cx),         # in the lake ring
+            (3, cy, cx + 0.35),        # in the lake ring
+            (4, cy + 0.9, cx),         # outside the lake entirely
+        ],
+        "point_id long, lat double, lon double",
+    )
+    got = {
+        r.point_id for r in pip_join_with_holes(pts, outer_layer, inner_layer).collect()
+    }
+    assert got == {2, 3}
+    # without hole subtraction, the island centre is wrongly "in the lake"
+    plain = {r.point_id for r in pip_join_with_holes(pts, outer_layer, None).collect()}
+    assert plain == {1, 2, 3}
