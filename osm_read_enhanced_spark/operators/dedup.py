@@ -483,9 +483,18 @@ def _dominant_direction(embeddings, id_col, vec_col, sample: int = 1024):
         .limit(sample)
         .collect()
     )
-    m = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    if not rows:
+        # empty table: any unit vector keeps the band join exact (and
+        # the join output is empty anyway)
+        return [1.0]
+    dim = max(len(rows[0][1]), 1)
+    m = np.array([list(r[1]) for r in rows], dtype=np.float64).reshape(len(rows), dim)
     norms = np.linalg.norm(m, axis=1)
     m = m[norms > 0] / norms[norms > 0, None]
+    if m.shape[0] == 0:
+        # all sampled vectors zero-norm: degrade to a fixed unit basis
+        # direction instead of crashing (ADVICE r3 low #4)
+        return [1.0] + [0.0] * (dim - 1)
     u = np.ones(m.shape[1]) / math.sqrt(m.shape[1])
     for _ in range(8):
         u = m.T @ (m @ u)
@@ -529,10 +538,17 @@ def embedding_dup_pairs_banded(
         "_n", F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
     ).withColumn(
         "_p",
-        F.aggregate(
-            F.zip_with("_v", u_lit, lambda x, w: x * w), F.lit(0.0), lambda a, x: a + x
-        )
-        / F.col("_n"),
+        # try_divide: zero-norm vectors have undefined cosine — a null
+        # projection gives a null bucket, dropped by the equi-join
+        # instead of an ANSI divide-by-zero abort
+        F.try_divide(
+            F.aggregate(
+                F.zip_with("_v", u_lit, lambda x, w: x * w),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            F.col("_n"),
+        ),
     ).withColumn("_b", F.floor(F.col("_p") / F.lit(delta)).cast("long"))
     base = v.select(
         F.col(id_col).alias("id_b"),
@@ -549,12 +565,23 @@ def embedding_dup_pairs_banded(
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
     )
+    # Join with id_a != id_b and canonicalize AFTER the join (ADVICE r3
+    # high): the probe explodes only to {b, b+1}, so a boundary-straddling
+    # pair whose LOWER id sits in the HIGHER bucket is generated solely in
+    # (higher, lower) orientation — a pre-canonical id_a < id_b filter
+    # dropped it. least/greatest + dropDuplicates restores exactness for
+    # every orientation; cosine is symmetric so it computes before the
+    # canonicalization.
     return (
         probe.join(base, "_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("_cos", dot / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("_cos", F.try_divide(dot, F.col("_na") * F.col("_nb")))
         .filter(F.col("_cos") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", F.round("_cos", round_to).alias("cosine"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.round("_cos", round_to).alias("cosine"),
+        )
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -133,21 +133,32 @@ def resolve_members_deep(
         full_path = F.concat(F.col("path"), F.array(F.col("rel_id")))
         is_cycle = F.array_contains(full_path, F.col("ref"))
         out = out.select(cols).unionByName(frontier.filter(is_cycle).select(cols))
-        # expand each remaining relation-member into its own member list
-        expanded = (
+        # expand each remaining relation-member into its own member list.
+        # Split on target existence FIRST (ADVICE r3 medium): a type-2
+        # member whose target relation is absent from the dataset must
+        # keep its row with null payload (same contract as the flat
+        # resolver) — re-exploding it would yield a null-typed row that
+        # falls through every type filter and silently disappears.
+        marked = (
             frontier.filter(~is_cycle)
+            .withColumn("_parent_ref", F.col("ref"))
+            .join(rel_members, "_parent_ref", "left")
+        )
+        dangling = marked.filter(F.col("_members").isNull())
+        out = out.unionByName(dangling.select(cols))
+        expanded = (
+            marked.filter(F.col("_members").isNotNull())
             .select(
                 "root_rel_id",
                 full_path.alias("path"),
                 F.col("ref").alias("rel_id"),
-                F.col("ref").alias("_parent_ref"),
+                "_members",
             )
-            .join(rel_members, "_parent_ref", "left")
             .select(
                 "root_rel_id",
                 "path",
                 "rel_id",
-                F.posexplode_outer("_members").alias("morder", "m"),
+                F.posexplode("_members").alias("morder", "m"),
             )
             .select(
                 "root_rel_id",

@@ -67,7 +67,10 @@ def variant_image(idx: int, w: int = 32, h: int = 32) -> np.ndarray:
     pixels with a small ±VARIANT_STRENGTH patch perturbation."""
     img = render_image(idx, w, h).astype(np.int16)
     rng = np.random.default_rng(5042 + idx)
-    y, x = rng.integers(0, max(h - VARIANT_PATCH, 1), 2)
+    # y bound from h, x bound from w (ADVICE r3 low: one shared h-based
+    # bound misplaced the patch on non-square images)
+    y = int(rng.integers(0, max(h - VARIANT_PATCH, 1)))
+    x = int(rng.integers(0, max(w - VARIANT_PATCH, 1)))
     img[y : y + VARIANT_PATCH, x : x + VARIANT_PATCH] += rng.integers(
         -VARIANT_STRENGTH, VARIANT_STRENGTH + 1, (VARIANT_PATCH, VARIANT_PATCH, 3)
     )
