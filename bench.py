@@ -42,6 +42,45 @@ HEADLINE = [
 ]
 
 
+def cpu_probe(iters: int = 12) -> float:
+    """Single-core calibration probe: a fixed numpy transcendental loop,
+    returning M elements/sec. Run before and after the suite and
+    RECORDED IN THE JSON so a host-throttled measurement window (this
+    shared VM slows 3-5x under sustained load, SCALE.md) is detectable
+    in the artifact instead of silently poisoning the round's numbers.
+    Elementwise numpy stays on one core (no BLAS threading)."""
+    import numpy as np
+
+    x = np.linspace(0.0, 1.0, 1_000_000)
+    for _ in range(2):  # page-in + allocator warmup outside the timing
+        np.sin(x).sum()
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(iters):
+        s += float(np.sin(x).sum())
+    wall = time.perf_counter() - t0
+    assert s > 0
+    return round(iters / wall, 1)
+
+
+# Measured on this host: ~60-75 M elem/s in a clean-ish window (even
+# with a concurrent 8-core job); the documented post-load throttle is a
+# 3-5x slowdown → ~15-20. PROBE_MIN=30 splits the two regimes. Below it
+# the window is throttled → sleep-and-reprobe before measuring (bounded
+# retries; the final probe values always ship in the JSON either way).
+PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "30"))
+
+
+def wait_for_clean_window(max_tries: int = 4, sleep_s: int = 90) -> float:
+    p = cpu_probe()
+    for _ in range(max_tries):
+        if p >= PROBE_MIN:
+            break
+        time.sleep(sleep_s)
+        p = cpu_probe()
+    return p
+
+
 def _spark(cores: int):
     from osm_read_enhanced_spark.session import get_spark
 
@@ -53,10 +92,10 @@ def _spark(cores: int):
 
 
 def run_query(spark, name: str, sf_dir: str) -> tuple[float, int]:
-    from osm_read_enhanced_spark.plans.queries import QUERIES
+    from osm_read_enhanced_spark.plans.queries import QUERIES, QUERIES_EXTENDED
 
     t0 = time.time()
-    n = QUERIES[name].fn(spark, sf_dir).count()
+    n = {**QUERIES, **QUERIES_EXTENDED}[name].fn(spark, sf_dir).count()
     return time.time() - t0, n
 
 
@@ -234,6 +273,11 @@ def _bench_pbf(n_blocks: int) -> tuple[str, int]:
 
 
 def run_suite(cores: int, sf_dir: str) -> dict:
+    # calibration probe BEFORE anything heavy: if the host is inside its
+    # post-load throttle window (VERDICT r3: every head measured 36-90%
+    # slower with unchanged plans), wait it out — bounded — and record
+    # the probe values in the artifact either way.
+    probe_before = wait_for_clean_window()
     spark = _spark(cores)
     # warm up JVM codegen + the FULL Python worker pool (one worker per
     # core — the first mapInPandas stage otherwise pays a 32-way
@@ -253,13 +297,25 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     # let the host's CPU budget recover before the spatial/relational
     # heads (the decode trials otherwise push the suite into throttle)
     time.sleep(int(os.environ.get("SPARK_GRAFT_BENCH_MIDCOOL", "60")))
-    queries = {}
-    for name in HEADLINE:
-        wall, _ = run_query(spark, name, sf_dir)
-        queries[name] = round(wall, 3)
-    sp_wall, sp_rps, sp_n = spatial_pipeline_rows_per_sec(spark, sf_dir)
+    # per-query BEST OF 2, interleaved (two full passes over the head
+    # list, min per query): a throttle dip mid-suite then hits pass 1
+    # and pass 2 at different points, so the min rejects it instead of
+    # baking it into whichever queries ran during the dip
+    queries: dict[str, float] = {}
+    sp_best = None
+    for _pass in range(2):
+        for name in HEADLINE:
+            wall, _ = run_query(spark, name, sf_dir)
+            wall = round(wall, 3)
+            if name not in queries or wall < queries[name]:
+                queries[name] = wall
+        sp = spatial_pipeline_rows_per_sec(spark, sf_dir)
+        if sp_best is None or sp[0] < sp_best[0]:
+            sp_best = sp
+    sp_wall, sp_rps, sp_n = sp_best
     queries["spatial_pipeline"] = round(sp_wall, 3)
     queries["pbf_decode"] = round(pb_wall, 3)
+    probe_after = cpu_probe()
     spark.stop()
     return {
         "queries": queries,
@@ -267,6 +323,12 @@ def run_suite(cores: int, sf_dir: str) -> dict:
         "spatial_points": sp_n,
         "pbf_elements_per_sec": round(pb_eps, 1),
         "total_sec": round(sum(queries.values()), 3),
+        "probe": {
+            "before": probe_before,
+            "after": probe_after,
+            "clean_min": PROBE_MIN,
+            "clean": probe_before >= PROBE_MIN and probe_after >= PROBE_MIN,
+        },
     }
 
 
@@ -310,6 +372,7 @@ def main():
         # core count), so trials alternate order with cooldowns and the
         # best per config — the throttle-free measurement — is used.
         cooldown = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "75"))
+        probe_before = wait_for_clean_window()
         trials_lo, trials_hi = [], []
         order = [(lo, trials_lo), (hi, trials_hi)]
         for t in range(2):
@@ -337,6 +400,11 @@ def main():
                 },
                 "efficiency": round(eff, 3),
             },
+            "probe": {
+                "before": probe_before,
+                "after": cpu_probe(),
+                "clean_min": PROBE_MIN,
+            },
         }
     else:
         r = run_suite(CPUS, SF_DIR)
@@ -348,6 +416,7 @@ def main():
             "sf": sf,
             "pbf_elements_per_sec": r["pbf_elements_per_sec"],
             "total_sec": r["total_sec"],
+            "probe": r["probe"],
         }
     print(json.dumps(out))
 

@@ -71,10 +71,27 @@ def _haversine_col(lat1, lon1, lat2, lon2):
 
 QUERIES: dict[str, QueryDef] = {}
 
+# Overflow registry. The driver's correctness gate records at most 50
+# entries (round 3: 54 registered, exactly the first 50 got rows), so
+# the driver-facing catalog is held at ≤50 and REDUNDANT VARIANTS live
+# here instead: each extended entry duplicates an operator surface that
+# a driver-gated query already covers (see COVERAGE.md §catalog).
+# tools/crosscheck.py validates both registries identically, so these
+# keep full local oracle evidence.
+QUERIES_EXTENDED: dict[str, QueryDef] = {}
+
 
 def q(name: str, oracle: str | None, description: str):
     def deco(fn):
         QUERIES[name] = QueryDef(fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def q_ext(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        QUERIES_EXTENDED[name] = QueryDef(fn, oracle, description)
         return fn
 
     return deco
@@ -298,7 +315,7 @@ def q09(spark, sf_dir):
     return a.unionByName(b).exceptAll(neg).distinct()
 
 
-@q(
+@q_ext(
     "q10_cube",
     """
     SELECT l_returnflag, l_linestatus, count(*) AS n,
@@ -519,7 +536,7 @@ def q19(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-@q(
+@q_ext(
     "q20_haversine_knn",
     f"""
     SELECT * FROM (
@@ -565,7 +582,7 @@ def q20(spark, sf_dir):
     ).select("c_custkey", "s_suppkey", "rank", "dist_m")
 
 
-@q(
+@q_ext(
     "q21_bbox_pip",
     f"""
     WITH pts AS (
@@ -1139,7 +1156,7 @@ def _langid_detected_sql() -> str:
     return "CASE " + " ".join(whens) + " ELSE 'und' END"
 
 
-@q(
+@q_ext(
     "q38_langid_sql",
     f"""
     SELECT lang, detected, count(*) AS n FROM (
@@ -1335,7 +1352,7 @@ def q39(spark, sf_dir):
     return connected_components(pairs.select("id_a", "id_b"))
 
 
-@q(
+@q_ext(
     "q40_ann_ivf",
     None,  # non-SQL kernel (kmeans + IVF probe) → pinned golden oracle
     "IVF ANN end-to-end: coarse kmeans lists + nprobe probe + exact refine top-k (pipeline extra)",
@@ -1367,11 +1384,12 @@ except ImportError:  # pragma: no cover
     PINNED_ORACLES = {}
 
 for _name, _sql in PINNED_ORACLES.items():
-    _qd = QUERIES.get(_name)
-    if _qd is not None and _qd.oracle is None:
-        QUERIES[_name] = QueryDef(
-            _qd.fn, _sql, _qd.description + " [pinned sf0.01 golden oracle]"
-        )
+    for _reg in (QUERIES, QUERIES_EXTENDED):
+        _qd = _reg.get(_name)
+        if _qd is not None and _qd.oracle is None:
+            _reg[_name] = QueryDef(
+                _qd.fn, _sql, _qd.description + " [pinned sf0.01 golden oracle]"
+            )
 
 
 @q(

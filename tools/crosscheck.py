@@ -62,8 +62,13 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = dict(entry_mod.queries())
+    oracles = dict(entry_mod.oracle_sql())
+    # the overflow registry gets identical local validation (the driver
+    # gate caps at 50 entries; see COVERAGE.md §catalog)
+    if hasattr(entry_mod, "queries_extended"):
+        qs.update(entry_mod.queries_extended())
+        oracles.update(entry_mod.oracle_sql_extended())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
