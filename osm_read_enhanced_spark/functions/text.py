@@ -83,18 +83,36 @@ def detect_language(texts: pd.Series) -> pd.Series:
 
 
 def fingerprint64(texts: pd.Series, window: int = 0) -> np.ndarray:
-    """64-bit document fingerprint: polynomial rolling hash over bytes
-    (window=0 → whole document)."""
-    out = np.empty(len(texts), dtype=np.uint64)
-    P = np.uint64(1099511628211)  # FNV prime
-    for i, t in enumerate(texts.fillna("")):
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        if window and len(b) > window:
-            b = b[:window]
-        h = np.uint64(14695981039346656037)  # FNV offset basis
-        for x in b:  # FNV-1a; short docs — fine, else vectorize below
-            h = (h ^ x) * P
-        out[i] = h
+    """64-bit document fingerprint: splitmix64-mixed polynomial hash over
+    UTF-8 bytes (window=0 → whole document) — the same hash family as
+    the word/shingle core below, fully vectorized: ONE reduceat over the
+    batch's concatenated byte buffer (VERDICT r3 #4 replaced the
+    per-byte FNV-1a python loop; uint64 wraparound is intentional, so
+    numpy overflow warnings are suppressed for the kernel).
+
+    fp(doc) = mix64( Σ_i byte_i · P^i  mod 2^64 ),  P = FNV prime
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.int64)
+    bufs = [t.encode("utf-8") for t in texts.fillna("")]
+    if window:
+        bufs = [b[:window] for b in bufs]
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n_docs)
+    data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        if len(data):
+            pos = _seg_arange(lens)
+            powB = _powers(_FNV_PRIME, int(lens.max()))
+            contrib = data.astype(np.uint64) * powB[pos]
+            off = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=off[1:])
+            nonempty = lens > 0
+            # reduceat misreads empty segments (offsets[i]==offsets[i+1]
+            # yields a[offsets[i]], not 0) → reduce only non-empty docs
+            out[nonempty] = np.add.reduceat(contrib, off[nonempty])
+        out = _mix64(out)
     return out.view(np.int64)
 
 
@@ -153,15 +171,22 @@ def _seg_arange(counts: np.ndarray) -> np.ndarray:
     return np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
 
 
-def shingle_hashes_batch(texts: pd.Series, k: int = 5):
-    """Vectorized word-k-shingle hashing over a whole batch of documents.
+def word_hashes_batch(texts: pd.Series):
+    """Vectorized word hashing over a whole batch of documents: split the
+    lowercased UTF-8 bytes on ASCII whitespace runs and hash every word
+    occurrence with the splitmix64-mixed polynomial byte hash (header
+    definition above) — flat numpy over one concatenated buffer, no
+    per-word python. Shared core of the shingle (MinHash) and SimHash
+    paths.
 
-    → (flat_ids: uint64[total_grams] of 31-bit shingle ids in document
-    order, counts: int64[n_docs] grams per document, ≥1 each).
+    → (whash: uint64[n_words] in document order,
+       word_doc: int64[n_words] owning doc index,
+       wpd: int64[n_docs] words per doc)
     """
     n_docs = len(texts)
     if n_docs == 0:
-        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     bufs = [t.lower().encode("utf-8") for t in texts.fillna("")]
     data = np.frombuffer(b"\n".join(bufs) + b"\n", dtype=np.uint8)
     doc_ends = np.cumsum(
@@ -174,24 +199,37 @@ def shingle_hashes_batch(texts: pd.Series, k: int = 5):
     prev_ws[1:] = ws[:-1]
     wstart = np.flatnonzero(nonws & prev_ws)
     n_words = len(wstart)
-    if n_words:
-        next_ws = np.empty(len(data), dtype=bool)
-        next_ws[-1] = True
-        next_ws[:-1] = ws[1:]
-        wlen = np.flatnonzero(nonws & next_ws) + 1 - wstart
-        # polynomial word hash over bytes, one reduceat over the flat buffer
-        nz = np.flatnonzero(nonws)
-        pos = nz - np.repeat(wstart, wlen)
-        powB = _powers(_FNV_PRIME, int(wlen.max()))
-        contrib = data[nz].astype(np.uint64) * powB[pos]
-        word_off = np.zeros(n_words, dtype=np.int64)
-        np.cumsum(wlen[:-1], out=word_off[1:])
-        whash = _mix64(np.add.reduceat(contrib, word_off))
-        word_doc = np.searchsorted(doc_ends, wstart, side="right")
-        wpd = np.bincount(word_doc, minlength=n_docs).astype(np.int64)
-    else:
-        whash = np.empty(0, dtype=np.uint64)
-        wpd = np.zeros(n_docs, dtype=np.int64)
+    if not n_words:
+        e = np.empty(0, dtype=np.uint64)
+        return e, np.empty(0, dtype=np.int64), np.zeros(n_docs, dtype=np.int64)
+    next_ws = np.empty(len(data), dtype=bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    wlen = np.flatnonzero(nonws & next_ws) + 1 - wstart
+    # polynomial word hash over bytes, one reduceat over the flat buffer
+    nz = np.flatnonzero(nonws)
+    pos = nz - np.repeat(wstart, wlen)
+    powB = _powers(_FNV_PRIME, int(wlen.max()))
+    contrib = data[nz].astype(np.uint64) * powB[pos]
+    word_off = np.zeros(n_words, dtype=np.int64)
+    np.cumsum(wlen[:-1], out=word_off[1:])
+    whash = _mix64(np.add.reduceat(contrib, word_off))
+    word_doc = np.searchsorted(doc_ends, wstart, side="right")
+    wpd = np.bincount(word_doc, minlength=n_docs).astype(np.int64)
+    return whash, word_doc, wpd
+
+
+def shingle_hashes_batch(texts: pd.Series, k: int = 5):
+    """Vectorized word-k-shingle hashing over a whole batch of documents.
+
+    → (flat_ids: uint64[total_grams] of 31-bit shingle ids in document
+    order, counts: int64[n_docs] grams per document, ≥1 each).
+    """
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    whash, word_doc, wpd = word_hashes_batch(texts)
+    n_words = len(whash)
     doc_word_off = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(wpd, out=doc_word_off[1:])
     counts = np.where(wpd >= k, wpd - k + 1, 1).astype(np.int64)
@@ -321,25 +359,29 @@ def minhash_signatures_batch(
 
 
 def simhash64(texts: pd.Series) -> np.ndarray:
-    """64-bit SimHash over word tokens (md5-derived stable word hashes)."""
-    import hashlib
+    """64-bit SimHash over word tokens, fully vectorized (VERDICT r3 #3
+    replaced the per-doc per-word md5 python loop).
 
-    out = np.empty(len(texts), dtype=np.int64)
-    cache: dict[str, int] = {}
-    for i, t in enumerate(texts.fillna("")):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in t.lower().split():
-            h = cache.get(w)
-            if h is None:
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                cache[w] = h
-            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for bit in np.flatnonzero(acc > 0):
-            v |= 1 << int(bit)
-        out[i] = np.int64(np.uint64(v).astype(np.int64))
-    return out
+    Word hashes come from the SAME splitmix64 polynomial byte core as
+    the MinHash shingle path (``word_hashes_batch``); the per-bit sign
+    accumulation is 64 weighted bincounts over the flat word array —
+    bit j of doc d is set iff  2·ones_j(d) > n_words(d)  (i.e. the
+    classic Σ±1 accumulator is positive; ties and empty docs → 0,
+    matching the previous md5-based implementation's tie rule). The
+    q30/q31 DuckDB oracles mirror this hash bit-for-bit
+    (plans/queries._SIMHASH_ACC_CTE, updated in lockstep).
+    """
+    n_docs = len(texts)
+    whash, word_doc, wpd = word_hashes_batch(texts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if len(whash):
+        one = np.uint64(1)
+        for j in range(64):
+            bit = ((whash >> np.uint64(j)) & one).astype(np.float64)
+            # float weights are exact for counts < 2^53
+            ones = np.bincount(word_doc, weights=bit, minlength=n_docs)
+            out |= (2 * ones.astype(np.int64) > wpd).astype(np.uint64) << np.uint64(j)
+    return out.view(np.int64)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -848,30 +848,69 @@ def q29(spark, sf_dir):
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
-# SimHash in SQL: md5(token) first 8 bytes big-endian = hex chars 1-16;
-# bit b (LSB=0) lives in hex char 16 - b//4, nibble bit b%4. Per-doc
-# per-bit weight = Σ_tokens (+1 if bit set else -1); a pair's hamming
-# distance = #bits where the two docs' weight signs differ — computed
-# directly on the per-bit accumulators, so the packed int64 (and its
-# bit-63 sign hazard) never materializes. Mirrors functions.text.simhash64
-# exactly (same md5, same per-occurrence accumulation, same acc>0 rule).
-_SIMHASH_ACC_CTE = """
+# SimHash in SQL, mirroring functions.text.simhash64 bit-for-bit
+# (round 4: the word hash changed from per-word md5 to the vectorized
+# splitmix64 polynomial byte hash SHARED with the MinHash shingle core —
+# this CTE re-implements that hash in DuckDB, updated in lockstep):
+#   whash(w) = mix64( Σ_i byte_i(utf8(w)) · P^i  mod 2^64 ), P = FNV prime
+#   mix64    = splitmix64 finalizer (xor-shift 30 / mul C1 / xor-shift 27
+#              / mul C2 / xor-shift 31), with the mod-2^64 multiplies
+#              split into 32-bit halves because HUGEINT is signed 127-bit:
+#              a·b mod 2^64 = (a_lo·b + ((a_hi·b mod 2^32) << 32)) mod 2^64
+#   bytes    = hex(encode(w)) nibble pairs; powers P^i from a recursive CTE
+# whash depends only on the word, so it is computed per DISTINCT vocab
+# word and joined back to token occurrences (duplicates each contribute
+# ±1, same as the python side). Per-doc per-bit weight = Σ_tokens (+1 if
+# bit set else -1); a pair's hamming distance = #bits where the two
+# docs' weight signs differ — computed directly on the per-bit
+# accumulators, so the packed int64 (and its bit-63 sign hazard) never
+# materializes. Tie rule acc>0 matches simhash64's 2·ones > n_words.
+# NOTE: must be composed with WITH RECURSIVE (powers CTE).
+
+
+def _sql_mulmod64(v: str, c_full: int) -> str:
+    c_lo32 = c_full % (1 << 32)
+    return (
+        f"CAST(((CAST({v} % 4294967296 AS HUGEINT) * {c_full}) "
+        f"+ (((CAST({v} AS HUGEINT) // 4294967296) * {c_lo32}) % 4294967296) * 4294967296"
+        f") % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+_SIMHASH_ACC_CTE = f"""
+    powers(i, v) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, (v * 1099511628211) % 18446744073709551616
+        FROM powers WHERE i < 1023
+    ),
     toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
       FROM documents WHERE length(trim(text)) > 0),
-    hx AS (SELECT doc_id, md5(w) AS h FROM toks),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
+    vpoly AS (
+      SELECT w, CAST(sum(
+          (CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+2 AS INT), 1)) - 1 AS HUGEINT)) * p.v
+        ) % 18446744073709551616 AS UBIGINT) AS v
+      FROM vhex JOIN powers p ON p.i < n GROUP BY w),
+    vm1 AS (SELECT w, xor(v, v >> 30) AS v FROM vpoly),
+    vm2 AS (SELECT w, {_sql_mulmod64('v', 0xBF58476D1CE4E5B9)} AS v FROM vm1),
+    vm3 AS (SELECT w, xor(v, v >> 27) AS v FROM vm2),
+    vm4 AS (SELECT w, {_sql_mulmod64('v', 0x94D049BB133111EB)} AS v FROM vm3),
+    vhash AS (SELECT w, xor(v, v >> 31) AS h FROM vm4),
+    hx AS (SELECT t.doc_id, v.h FROM toks t JOIN vhash v USING (w)),
     bits AS (
       SELECT doc_id, b.b AS bit,
-             CASE WHEN ((strpos('0123456789abcdef',
-                                substr(h, CAST(16 - b.b // 4 AS INT), 1)) - 1)
-                        >> CAST(b.b % 4 AS INT)) & 1 = 1
+             CASE WHEN (h >> CAST(b.b AS UBIGINT)) & 1 = 1
                   THEN 1 ELSE -1 END AS w
       FROM hx CROSS JOIN (SELECT unnest(range(64)) AS b) b),
     acc AS (
       SELECT doc_id, bit, sum(w) AS a FROM bits GROUP BY doc_id, bit
       UNION ALL
       -- token-less documents: simhash 0 (all-zero accumulator), same as
-      -- the python side's empty split()
+      -- the python side's empty word list
       SELECT d.doc_id, b.b AS bit, 0 AS a
       FROM documents d CROSS JOIN (SELECT unnest(range(64)) AS b) b
       WHERE length(trim(d.text)) = 0)
@@ -891,7 +930,7 @@ def _simhash_pairs_sql(max_hamming: int) -> str:
 
 @q(
     "q30_simhash_dups",
-    f"WITH {_SIMHASH_ACC_CTE} {_simhash_pairs_sql(10)}",
+    f"WITH RECURSIVE {_SIMHASH_ACC_CTE} {_simhash_pairs_sql(10)}",
     "SimHash near-dup pairs within hamming radius (pipeline extra; SQL-mirrored oracle)",
 )
 def q30(spark, sf_dir):
@@ -909,7 +948,7 @@ def q30(spark, sf_dir):
     # by exact 3-gram Jaccard; jaccard ≥ 0.5 tested as 2·|∩| ≥ |∪|
     # (exact integer arithmetic, no float threshold edge)
     f"""
-    WITH {_SIMHASH_ACC_CTE},
+    WITH RECURSIVE {_SIMHASH_ACC_CTE},
     cand AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM acc a JOIN acc b ON a.bit = b.bit AND a.doc_id < b.doc_id

@@ -178,3 +178,75 @@ def test_shingle_core_matches_cleanroom_reimpl():
     assert off == len(flat)
     # all ids fit in 31 bits (exactness precondition of the p=2^31-1 grid)
     assert int(flat.max()) < 2**31
+
+def _simhash_py(text: str) -> int:
+    """Clean-room per-doc SimHash over the same word-hash definition —
+    plain python ints, no shared code with the vectorized kernel."""
+    acc = [0] * 64
+    for w in text.lower().encode("utf-8").split():
+        h = _word_hash_py(w)
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    v = 0
+    for j in range(64):
+        if acc[j] > 0:
+            v |= 1 << j
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_matches_cleanroom_reimpl():
+    """The vectorized simhash64 (64 weighted bincounts over the flat
+    word-hash core, VERDICT r3 #3) must equal the per-doc clean-room
+    coding exactly — incl. empty docs, ties, duplicates, unicode."""
+    texts = pd.Series(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "   ",
+            "one",
+            "foo foo foo bar",
+            "tabs\tand\nnewlines   and  runs of spaces",
+            "unicode wörds äre fine ünd split on ascii ws only",
+            "的是了在我有和 的是",
+            "x " * 300,
+        ]
+    )
+    got = tx.simhash64(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _simhash_py(t), (i, t)
+
+
+def test_simhash_no_per_word_python():
+    """Regression for the VERDICT r3 anti-pattern: the signature path
+    must not contain a per-word python loop or hashlib."""
+    import inspect
+
+    src = inspect.getsource(tx.simhash64)
+    assert "hashlib" not in src
+    assert ".split()" not in src
+
+
+def _fingerprint_py(text: str, window: int = 0) -> int:
+    b = text.encode("utf-8")
+    if window:
+        b = b[:window]
+    M = (1 << 64) - 1
+    B = 1099511628211
+    acc, p = 0, 1
+    for byte in b:
+        acc = (acc + byte * p) & M
+        p = (p * B) & M
+    h = _mix64_py(acc)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def test_fingerprint_matches_cleanroom_reimpl():
+    texts = pd.Series(["doc one text", "", "ünïcode bytes", "x" * 500, "doc one text"])
+    got = tx.fingerprint64(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _fingerprint_py(t), (i, t)
+    got_w = tx.fingerprint64(texts, window=4)
+    for i, t in enumerate(texts):
+        assert int(got_w[i]) == _fingerprint_py(t, window=4), (i, t)
+    # stability + discrimination (the original test contract)
+    assert got[0] == got[4] and got[0] != got[1]
