@@ -190,14 +190,25 @@ def decode_dct(data: bytes) -> np.ndarray:
 
 # ----------------------------------------------------------------- dispatch
 
-FORMATS = ("ppm", "bmp", "png", "dct")
+# round 4 adds real baseline-JFIF jpeg (functions/jpeg.py, ITU T.81,
+# cross-validated against javax.imageio) — the external-codec stub in
+# operators/multimodal.py now covers only webp/mp3/mp4
+FORMATS = ("ppm", "bmp", "png", "dct", "jpeg")
 
 
 def encode_image(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "jpeg":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(img)
     return {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png, "dct": encode_dct}[fmt](img)
 
 
 def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "jpeg":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     return {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png, "dct": decode_dct}[fmt](data)
 
 

@@ -95,6 +95,70 @@ def verify_payloads(images: DataFrame, min_psnr_db: float = 40.0) -> DataFrame:
     return images.select("image_id", "bytes", "fmt", "w", "h", "phash").mapInPandas(run, schema)
 
 
+def jpeg_decode_report(images: DataFrame, min_psnr_db: float = 25.0) -> DataFrame:
+    """Real baseline-JFIF decode (functions/jpeg.py, ITU T.81) + per-row
+    stats and PSNR vs a fresh render — the q55 verification surface.
+    ``psnr_ok`` uses a 25 dB floor: 4:4:4 rows at q95 clear 40 dB (the
+    north-rule lossy invariant, asserted per-row in tests/test_jpeg.py),
+    while 4:2:0 rows legitimately lose chroma fidelity on these
+    synthetic saturated-chroma patterns (measured down to ~29 dB at
+    q95; real photographs fare far better)."""
+    from ..functions.jpeg import decode_jpeg
+    from ..sources.images import render_image
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("n_bytes", T.IntegerType(), False),
+            T.StructField("mean_r", T.DoubleType(), False),
+            T.StructField("mean_g", T.DoubleType(), False),
+            T.StructField("mean_b", T.DoubleType(), False),
+            T.StructField("psnr_db", T.DoubleType(), False),
+            T.StructField("psnr_ok", T.BooleanType(), False),
+            T.StructField("phash_hamming", T.IntegerType(), False),
+        ]
+    )
+
+    def run(it):
+        from ..functions.text import hamming64
+
+        for pdf in it:
+            rows = []
+            for img_id, data, w, h, ph in zip(
+                pdf["image_id"], pdf["bytes"], pdf["w"], pdf["h"], pdf["phash"]
+            ):
+                idx = int(img_id.split("_")[-1])
+                truth = render_image(idx, int(w), int(h))
+                arr = decode_jpeg(bytes(data))
+                p = codecs.psnr(truth, arr)
+                ham = int(
+                    hamming64(
+                        np.array([codecs.phash64(arr)]), np.array([int(ph)])
+                    )[0]
+                )
+                rows.append(
+                    (
+                        img_id,
+                        len(data),
+                        float(arr[..., 0].mean()),
+                        float(arr[..., 1].mean()),
+                        float(arr[..., 2].mean()),
+                        min(p, 1e9),
+                        p >= min_psnr_db,
+                        ham,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_bytes", "mean_r", "mean_g", "mean_b",
+                    "psnr_db", "psnr_ok", "phash_hamming",
+                ],
+            )
+
+    return images.select("image_id", "bytes", "w", "h", "phash").mapInPandas(run, schema)
+
+
 def resize_images(images: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
     """Batch resize (nearest) + re-encode — the thumbnailing stage."""
     schema = T.StructType(
@@ -216,12 +280,16 @@ def audio_features(clips: DataFrame) -> DataFrame:
 
 
 def decode_external_format(images: DataFrame, fmt: str) -> DataFrame:
-    """STUB for container-absent codecs (jpeg/webp/audio/video frames).
+    """STUB for container-absent codecs (webp / mp3 / mp4 streams).
 
-    The Spark plumbing (schema, batch shape, partitioning) is the real
-    contract; the decode itself needs PIL/ffmpeg which this environment
-    does not ship, so it import-tries and raises NotImplementedError
-    with a clear message when absent.
+    Round 4 narrowed this stub: baseline JPEG is now a REAL in-repo
+    codec (functions/jpeg.py — ITU T.81 huffman+IDCT in numpy,
+    cross-validated against javax.imageio), raw-RGB video containers
+    and RIFF/WAVE audio are handled by functions/av.py. What remains
+    here genuinely needs PIL/ffmpeg, which this environment does not
+    ship, so it import-tries and raises NotImplementedError with a
+    clear message when absent. The Spark plumbing (schema, batch shape,
+    partitioning) is the real contract.
     """
     try:
         import PIL.Image  # noqa: F401

@@ -1417,18 +1417,8 @@ def q40(spark, sf_dir):
 # test_codecs.py); the pinned oracle turns silent regressions into
 # driver-visible correctness failures. Pins are valid ONLY at sf0.01 —
 # the driver's correctness scale.
-try:  # pragma: no cover - import guard
-    from .pinned_oracles import PINNED_ORACLES
-except ImportError:  # pragma: no cover
-    PINNED_ORACLES = {}
-
-for _name, _sql in PINNED_ORACLES.items():
-    for _reg in (QUERIES, QUERIES_EXTENDED):
-        _qd = _reg.get(_name)
-        if _qd is not None and _qd.oracle is None:
-            _reg[_name] = QueryDef(
-                _qd.fn, _sql, _qd.description + " [pinned sf0.01 golden oracle]"
-            )
+# (the pin-application loop lives at the END of this module so that
+# every query — including ones registered below — can receive its pin)
 
 
 @q(
@@ -2021,3 +2011,45 @@ def q54(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["group_id", "n_in", "n_out", "kept_chk"])
 
     return lines.mapInPandas(run, schema)
+
+
+@q(
+    "q55_jpeg_decode",
+    None,  # huffman+IDCT kernel is not SQL-expressible → pinned golden
+    "baseline-JFIF decode (ITU T.81 huffman + batched IDCT, real bytes "
+    "incl. 4:2:0 + restart markers) + channel stats + PSNR vs truth "
+    "(round 4; javax.imageio cross-validation in tests/test_jpeg.py)",
+)
+def q55(spark, sf_dir):
+    from ..operators.multimodal import jpeg_decode_report
+    from ..sources.images import build_jpeg_images_df
+
+    imgs = build_jpeg_images_df(spark, n=48, partitions=4)
+    return jpeg_decode_report(imgs).select(
+        "image_id",
+        "n_bytes",
+        F.round("mean_r", 2).alias("mean_r"),
+        F.round("mean_g", 2).alias("mean_g"),
+        F.round("mean_b", 2).alias("mean_b"),
+        F.round("psnr_db", 1).alias("psnr_db"),
+        "psnr_ok",
+        "phash_hamming",
+    )
+
+
+# ------------------------------------------------- apply pinned oracles
+# Must run AFTER every @q/@q_ext registration above (it was mid-file
+# until round 4, which silently left later-registered pinned queries
+# rows-only).
+try:  # pragma: no cover - import guard
+    from .pinned_oracles import PINNED_ORACLES
+except ImportError:  # pragma: no cover
+    PINNED_ORACLES = {}
+
+for _name, _sql in PINNED_ORACLES.items():
+    for _reg in (QUERIES, QUERIES_EXTENDED):
+        _qd = _reg.get(_name)
+        if _qd is not None and _qd.oracle is None:
+            _reg[_name] = QueryDef(
+                _qd.fn, _sql, _qd.description + " [pinned sf0.01 golden oracle]"
+            )

@@ -179,6 +179,60 @@ def build_images_df(
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
 
 
+def build_jpeg_images_df(
+    spark: SparkSession,
+    n: int,
+    w: int = 48,
+    h: int = 48,
+    quality: int = 95,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic generation of n REAL baseline-JFIF
+    rows (functions/jpeg.py): every 3rd image uses 4:2:0 chroma
+    subsampling, every 5th adds restart markers — so the q55 decode path
+    exercises sampling factors, fancy upsampling and DRI/RSTn on driver
+    data, not just the happy path."""
+    from ..functions.jpeg import encode_jpeg
+
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for idx in pdf["id"]:
+                idx = int(idx)
+                img = render_image(idx, w, h)
+                data = encode_jpeg(
+                    img,
+                    quality=quality,
+                    subsample=(idx % 3 == 2),
+                    restart_interval=(2 if idx % 5 == 4 else 0),
+                )
+                la, lo = geotag(idx)
+                rows.append(
+                    (
+                        f"img_{idx:012d}",
+                        bytearray(data),
+                        w,
+                        h,
+                        "jpeg",
+                        caption_for(idx, la, lo, "jpeg"),
+                        codecs.phash64(img),
+                        la,
+                        lo,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "lat", "lon",
+                ],
+            )
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, IMAGES_SCHEMA)
+
+
 def write_images_table(
     spark: SparkSession, table_path: str, n: int, buckets: int = 8, **kw
 ) -> list[dict]:

@@ -74,6 +74,17 @@ def decode_blob(data: bytes) -> bytes:
             payload, codec = data[val[0] : val[1]], "zstd"
     if raw is not None:
         return raw
+    return decompress(codec, payload)
+
+
+def decompress(codec: str | None, payload: bytes) -> bytes:
+    """Decompress-layer capability surface, mirroring the reference's
+    nodejs zlib wrapper (lib/nodejs/zlib.js — inflate + brotli): zlib is
+    stdlib; zstd/lz4/brotli are import-gated (none ship in this
+    environment). Brotli is reachable only through this function — the
+    Blob proto has no brotli field (lib/proto/fileformat.proto:29-41),
+    so like the reference's own brotli branch it is capability, not a
+    wire path (COVERAGE.md D1)."""
     if codec == "zlib":
         return zlib.decompress(payload)
     if codec == "zstd":
@@ -83,6 +94,20 @@ def decode_blob(data: bytes) -> bytes:
             return zstandard.ZstdDecompressor().decompress(payload)
         except ImportError as e:
             raise NotImplementedError("zstd blob: zstandard not installed") from e
+    if codec == "lz4":
+        try:
+            import lz4.frame  # noqa: F401  (not in this environment)
+
+            return lz4.frame.decompress(payload)
+        except ImportError as e:
+            raise NotImplementedError("lz4 blob: lz4 not installed") from e
+    if codec == "brotli":
+        try:
+            import brotli  # noqa: F401  (not in this environment)
+
+            return brotli.decompress(payload)
+        except ImportError as e:
+            raise NotImplementedError("brotli payload: brotli not installed") from e
     raise NotImplementedError(f"unsupported blob codec: {codec!r}")
 
 

@@ -135,3 +135,28 @@ def test_many_nodes_golden():
 def test_kind_pruning(test_block):
     blk = decode_primitive_block(test_block, kinds=("way",))
     assert blk.n_nodes == 0 and len(blk.ways) == 1 and len(blk.relations) == 0
+
+
+def test_decompress_capability_surface():
+    """Round-4 parity hook: the decompress layer recognizes every codec
+    the reference's zlib wrapper supports. zlib works; zstd/lz4/brotli
+    import-gate with a clear NotImplementedError when absent (none ship
+    here); if a module IS present the real path runs."""
+    import importlib.util
+    import zlib as _z
+
+    import pytest
+
+    from osm_read_enhanced_spark.sources.pbf.decode import decompress
+
+    assert decompress("zlib", _z.compress(b"payload")) == b"payload"
+    for codec, mod in (("zstd", "zstandard"), ("lz4", "lz4"), ("brotli", "brotli")):
+        if importlib.util.find_spec(mod) is None:
+            with pytest.raises(NotImplementedError, match=codec):
+                decompress(codec, b"x")
+    if importlib.util.find_spec("brotli") is not None:  # pragma: no cover
+        import brotli
+
+        assert decompress("brotli", brotli.compress(b"payload")) == b"payload"
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decompress("snappy", b"x")
