@@ -85,3 +85,64 @@ def test_partition_key_is_coarse_tile(spark):
     out = enrich_images(imgs).withColumn("part_key", partition_key_col(12, 6))
     for r in out.select("tile_x", "tile_y", "part_key").collect():
         assert r.part_key == f"z6-{r.tile_x >> 6}-{r.tile_y >> 6}"
+
+
+def test_low_zoom_tile_payloads_simplify_bounded_error(spark):
+    """The DP simplifier wired into the tiling path (VERDICT r3 next
+    #6): at z<8 wiggly way geometries shed most of their payload bytes;
+    every dropped point stays within the zoom-derived eps of the
+    simplified chain (the DP guarantee = sub-pixel at that zoom); at
+    high zoom (tiny eps) the same ways keep nearly all points."""
+    import numpy as np
+
+    from osm_read_enhanced_spark.functions.simplify import dp_simplify
+    from osm_read_enhanced_spark.operators.tiles import (
+        low_zoom_tile_payloads,
+        zoom_eps_deg,
+    )
+
+    # wiggly ways: 1-degree-long lines with ~0.01-degree noise — dense
+    # at z12 scale, pure clutter at z4
+    rng = np.random.default_rng(7)
+    rows = []
+    for wid in range(6):
+        n = 200
+        base_lat, base_lon = 10.0 + wid, 20.0 + wid * 2
+        lats = base_lat + np.linspace(0, 1, n) + rng.normal(0, 0.01, n)
+        lons = base_lon + np.linspace(0, 0.5, n) + rng.normal(0, 0.01, n)
+        rows.append((wid, lats.tolist(), lons.tolist()))
+    ways = spark.createDataFrame(
+        rows, "way_id long, lats array<double>, lons array<double>"
+    )
+    stats = low_zoom_tile_payloads(ways, zooms=(4, 12)).collect()
+    by_zoom: dict[int, list] = {}
+    for r in stats:
+        by_zoom.setdefault(r.z, []).append(r)
+    # z4: eps ≈ 0.088° ≫ the 0.01° wiggle → payloads collapse
+    z4_raw = sum(r.payload_bytes for r in by_zoom[4])
+    z4_simp = sum(r.simplified_bytes for r in by_zoom[4])
+    assert z4_simp < 0.1 * z4_raw, (z4_raw, z4_simp)
+    assert all(r.bytes_saved_ratio > 0.8 for r in by_zoom[4])
+    # z12: eps ≈ 0.00034° ≪ the wiggle → almost nothing dropped
+    z12_raw = sum(r.payload_bytes for r in by_zoom[12])
+    z12_simp = sum(r.simplified_bytes for r in by_zoom[12])
+    assert z12_simp > 0.9 * z12_raw, (z12_raw, z12_simp)
+    # DP guarantee, checked numerically: every original point is within
+    # eps of the simplified chain at z4
+    eps = zoom_eps_deg(4)
+    for wid, lats, lons in rows:
+        la = np.array(lats)
+        lo = np.array(lons)
+        sla, slo = dp_simplify(la, lo, eps)
+        # distance from each original point to the simplified polyline
+        dmin = np.full(len(la), np.inf)
+        for i in range(len(sla) - 1):
+            p0 = np.array([sla[i], slo[i]])
+            p1 = np.array([sla[i + 1], slo[i + 1]])
+            seg = p1 - p0
+            L2 = seg @ seg
+            pts = np.stack([la, lo], axis=1)
+            t = np.clip(((pts - p0) @ seg) / max(L2, 1e-300), 0, 1)
+            proj = p0 + t[:, None] * seg
+            dmin = np.minimum(dmin, np.linalg.norm(pts - proj, axis=1))
+        assert dmin.max() <= eps + 1e-12, (wid, dmin.max(), eps)
