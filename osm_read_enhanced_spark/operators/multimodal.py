@@ -246,6 +246,42 @@ def sample_frames(videos: DataFrame, every: int = 2, out_fmt: str = "ppm") -> Da
     return videos.select("video_id", "bytes", "n_frames").mapInPandas(run, schema)
 
 
+def sample_frame_stats(videos: DataFrame, every: int = 2) -> DataFrame:
+    """Stats-direct frame sampling (round 4, VERDICT r3 nit #4): the
+    same random-access container decode as ``sample_frames``, emitting
+    per-frame stats WITHOUT the intermediate frame re-encode —
+    at 100× scale the encode-then-immediately-decode hop is pure waste
+    when downstream only needs scalars. ``sample_frames`` remains the
+    operator for consumers that need the frame bytes themselves."""
+    from ..functions import av
+
+    schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("frame_index", T.LongType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("mean_rgb", T.DoubleType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for vid, data, n in zip(pdf["video_id"], pdf["bytes"], pdf["n_frames"]):
+                for i in range(0, int(n), every):
+                    frame = av.decode_video_frame(data, i)
+                    h, w = frame.shape[:2]
+                    rows.append(
+                        (vid, i, w, h, float(frame.astype(np.float64).mean()))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_index", "w", "h", "mean_rgb"]
+            )
+
+    return videos.select("video_id", "bytes", "n_frames").mapInPandas(run, schema)
+
+
 def audio_features(clips: DataFrame) -> DataFrame:
     """WAV payloads → per-clip features (rms, zcr, spectral_centroid_hz)
     — the brief's audio feature-extract leg, real RIFF/WAVE decode +

@@ -1846,35 +1846,18 @@ def _q52_expected_sql() -> str:
     "frames, bypassing the container/codec path entirely",
 )
 def q52(spark, sf_dir):
-    import numpy as np
-
-    from ..operators.multimodal import sample_frames
+    # stats-direct variant (round 4, VERDICT r3 nit #4): same
+    # random-access container decode, no intermediate frame re-encode —
+    # mean of the lossless round trip ≡ mean of the raw frame, so the
+    # generator-side oracle is unchanged. sample_frames (frame_bytes
+    # output) keeps its own pytest coverage.
+    from ..operators.multimodal import sample_frame_stats
     from ..sources.av import build_videos_df
 
     vids = build_videos_df(spark, n=12, n_frames=8, partitions=4)
-    frames = sample_frames(vids, every=2)
-
-    schema = T.StructType(
-        [
-            T.StructField("video_id", T.StringType(), False),
-            T.StructField("frame_index", T.LongType(), False),
-            T.StructField("mean_rgb", T.DoubleType(), False),
-        ]
+    return sample_frame_stats(vids, every=2).select(
+        "video_id", "frame_index", "mean_rgb"
     )
-
-    def stats(it):
-        import pandas as pd
-
-        from ..functions import codecs
-
-        for pdf in it:
-            rows = [
-                (vid, int(i), float(codecs.decode_image(b, "ppm").astype(np.float64).mean()))
-                for vid, i, b in zip(pdf["video_id"], pdf["frame_index"], pdf["frame_bytes"])
-            ]
-            yield pd.DataFrame(rows, columns=["video_id", "frame_index", "mean_rgb"])
-
-    return frames.mapInPandas(stats, schema)
 
 
 def _q53_expected_sql() -> str:

@@ -76,3 +76,32 @@ def test_audio_features_operator_matches_raw(spark):
         pcm = render_tone(idx)
         want = (av.audio_rms(pcm), av.audio_zcr(pcm), av.audio_spectral_centroid(pcm, 8000))
         assert got[f"clip_{idx:08d}"] == pytest.approx(want, rel=1e-12)
+
+
+def test_sample_frame_stats_equals_bytes_path(spark):
+    """The stats-direct sampler (round 4) must agree exactly with the
+    frame-bytes sampler + lossless decode — same frames, same means."""
+    import numpy as np
+
+    from osm_read_enhanced_spark.functions import codecs
+    from osm_read_enhanced_spark.operators.multimodal import (
+        sample_frame_stats,
+        sample_frames,
+    )
+    from osm_read_enhanced_spark.sources.av import build_videos_df
+
+    vids = build_videos_df(spark, n=4, n_frames=6, partitions=2)
+    direct = {
+        (r.video_id, r.frame_index): (r.w, r.h, r.mean_rgb)
+        for r in sample_frame_stats(vids, every=2).collect()
+    }
+    via_bytes = {}
+    for r in sample_frames(vids, every=2).collect():
+        arr = codecs.decode_image(bytes(r.frame_bytes), "ppm")
+        via_bytes[(r.video_id, r.frame_index)] = (
+            r.w, r.h, float(arr.astype(np.float64).mean())
+        )
+    assert direct.keys() == via_bytes.keys() and len(direct) == 4 * 3
+    for k, (w, h, m) in direct.items():
+        w2, h2, m2 = via_bytes[k]
+        assert (w, h) == (w2, h2) and abs(m - m2) < 1e-12, k
