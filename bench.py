@@ -81,6 +81,26 @@ def wait_for_clean_window(max_tries: int = 4, sleep_s: int = 90) -> float:
     return p
 
 
+def jvm_probe(spark) -> float:
+    """Parallel JVM codegen probe: wall seconds for a fixed spark.range
+    aggregation across all cores. The single-core numpy probe cannot
+    see MULTI-core burst-budget exhaustion (measured: numpy probe
+    113 M/s "clean" while the JVM heads ran 1.5-3x slow right after a
+    16-minute streaming soak); this probe exercises the same resource
+    the suite does. Recorded before/after in the JSON; the suite
+    sleep-retries while it exceeds JVM_PROBE_MAX."""
+    t0 = time.time()
+    spark.range(
+        1_000_000_000, numPartitions=spark.sparkContext.defaultParallelism
+    ).selectExpr("sum(id % 97) AS s").collect()
+    return round(time.time() - t0, 3)
+
+
+# clean-window walls measured on this host: 0.48-0.69 s at local[32]
+# (best-of-3 after a 5-min cooldown); throttled windows run 2-4x that
+JVM_PROBE_MAX = float(os.environ.get("SPARK_GRAFT_JVM_PROBE_MAX", "1.5"))
+
+
 def _spark(cores: int):
     from osm_read_enhanced_spark.session import get_spark
 
@@ -286,6 +306,13 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     from osm_read_enhanced_spark.sources.images import build_images_df
 
     build_images_df(spark, n=cores * 4, partitions=cores).count()
+    jvm_probe(spark)  # warm the probe plan once
+    jvm_before = jvm_probe(spark)
+    for _ in range(4):
+        if jvm_before <= JVM_PROBE_MAX:
+            break
+        time.sleep(90)
+        jvm_before = jvm_probe(spark)
     # decode head FIRST (before the suite's sustained load triggers this
     # shared host's burstable-CPU throttle): warm the arrow-decode plan
     # (one-time codegen/worker setup), then best of 3 trials — the same
@@ -316,6 +343,7 @@ def run_suite(cores: int, sf_dir: str) -> dict:
     queries["spatial_pipeline"] = round(sp_wall, 3)
     queries["pbf_decode"] = round(pb_wall, 3)
     probe_after = cpu_probe()
+    jvm_after = jvm_probe(spark)
     spark.stop()
     return {
         "queries": queries,
@@ -327,7 +355,15 @@ def run_suite(cores: int, sf_dir: str) -> dict:
             "before": probe_before,
             "after": probe_after,
             "clean_min": PROBE_MIN,
-            "clean": probe_before >= PROBE_MIN and probe_after >= PROBE_MIN,
+            "jvm_before_sec": jvm_before,
+            "jvm_after_sec": jvm_after,
+            "jvm_max_sec": JVM_PROBE_MAX,
+            "clean": (
+                probe_before >= PROBE_MIN
+                and probe_after >= PROBE_MIN
+                and jvm_before <= JVM_PROBE_MAX
+                and jvm_after <= JVM_PROBE_MAX * 1.5
+            ),
         },
     }
 
