@@ -111,3 +111,52 @@ def tile_bounds_np(z: int, x, y) -> tuple[np.ndarray, np.ndarray, np.ndarray, np
 
 def bbox_of_ring(lats: np.ndarray, lons: np.ndarray) -> tuple[float, float, float, float]:
     return float(lats.min()), float(lons.min()), float(lats.max()), float(lons.max())
+
+
+def path_length_m_col(lats: Column, lons: Column) -> Column:
+    """Total haversine length (m) of a polyline stored as two aligned
+    arrays — pure Column math (sequence + aggregate left fold), the
+    per-way geometry measure for assembled OSM ways. <2-point paths are
+    0 (explicit guard: ANSI sequence(start, stop) steps -1 when
+    start > stop instead of yielding empty)."""
+
+    def seg(acc, i):
+        return acc + haversine_col(
+            F.element_at(lats, i),
+            F.element_at(lons, i),
+            F.element_at(lats, i + 1),
+            F.element_at(lons, i + 1),
+        )
+
+    n = F.size(lats)
+    total = F.aggregate(F.sequence(F.lit(1), n - 1), F.lit(0.0), seg)
+    return F.when(n >= 2, total).otherwise(F.lit(0.0))
+
+
+def ring_area_m2_col(lats: Column, lons: Column) -> Column:
+    """Planar shoelace area (m²) of a closed ring (last edge wraps to
+    the first vertex), with longitude scaled by cos(mean lat) — the
+    standard small-polygon approximation (exact same fold order as the
+    DuckDB oracle mirror, so floats agree bit-for-bit). Pure Column
+    math; <3-point rings are 0."""
+    n = F.size(lats)
+    m_per_deg = F.lit(np.pi * EARTH_RADIUS_M / 180.0)
+    mean_lat = F.try_divide(F.aggregate(lats, F.lit(0.0), lambda a, x: a + x), n)
+    kx = m_per_deg * F.cos(F.radians(mean_lat))
+
+    def cross(acc, i):
+        j = F.pmod(i, n) + 1  # wrap: last vertex pairs with the first
+        return acc + (
+            F.element_at(lons, i) * F.element_at(lats, j)
+            - F.element_at(lons, j) * F.element_at(lats, i)
+        )
+
+    two_a_deg = F.aggregate(F.sequence(F.lit(1), n), F.lit(0.0), cross)
+    area = F.abs(two_a_deg) / 2.0 * kx * m_per_deg
+    return F.when(n >= 3, area).otherwise(F.lit(0.0))
+
+
+def centroid_col(vals: Column) -> Column:
+    """Arithmetic mean of an array column (vertex centroid leg);
+    empty arrays → null (try_divide, ANSI-safe)."""
+    return F.try_divide(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x), F.size(vals))

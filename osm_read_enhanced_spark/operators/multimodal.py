@@ -208,6 +208,22 @@ def image_neardup_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
+def image_dedup_keep_list(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """→ (image_id, keep): the end-to-end image dedup decision (round 4
+    breadth): pHash near-dup pairs (banded hamming join) → connected
+    components (hash-min + pointer jumping) → keep the canonical (min
+    id) member per cluster plus every unpaired image. This is the
+    composition a training-data pipeline actually applies — transitive
+    duplicates (A~B, B~C) keep exactly one of three, which the raw pair
+    list cannot express."""
+    from .dedup import dedup_keep_list
+
+    pairs = image_neardup_pairs(images, max_hamming).select(
+        F.col("image_a").alias("id_a"), F.col("image_b").alias("id_b")
+    )
+    return dedup_keep_list(images, pairs, id_col="image_id")
+
+
 def sample_frames(videos: DataFrame, every: int = 2, out_fmt: str = "ppm") -> DataFrame:
     """Every ``every``-th frame of each video → one row per sampled
     frame (video_id, frame_index, frame_bytes, w, h) — the brief's

@@ -2020,6 +2020,117 @@ def q55(spark, sf_dir):
     )
 
 
+# --- extended catalog additions (round 4: beyond the 50-slot driver
+# cap — validated by tools/crosscheck.py, see COVERAGE.md §catalog) ---
+
+
+@q_ext(
+    "q56_image_dedup_keep",
+    # inputs pinned (same builder as q46: numpy render+phash, no Spark);
+    # pair semantics AND the transitive-closure keep decision run LIVE
+    # in DuckDB (recursive CTE, q39 pattern)
+    f"""
+    WITH RECURSIVE {_q46_inputs_sql()},
+    prs AS (
+      SELECT a.image_id AS id_a, b.image_id AS id_b
+      FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= 6),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION SELECT id_b, id_a FROM prs),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    comp AS (
+      SELECT src AS image_id, least(src, min(dst)) AS component
+      FROM reach GROUP BY src)
+    SELECT i.image_id,
+           (c.component IS NULL OR c.component = i.image_id) AS keep
+    FROM imgs i LEFT JOIN comp c ON c.image_id = i.image_id
+    """,
+    "end-to-end image dedup keep-list: pHash pairs → connected "
+    "components → canonical keep flags (round 4; recursive-CTE oracle "
+    "over pinned inputs)",
+)
+def q56(spark, sf_dir):
+    from ..operators.multimodal import image_dedup_keep_list
+    from ..sources.images import build_images_with_variants
+
+    imgs = build_images_with_variants(spark, n_base=72, every=3, partitions=4)
+    return image_dedup_keep_list(imgs, max_hamming=6).withColumnRenamed(
+        "doc_id", "image_id"
+    )
+
+
+@q_ext(
+    "q57_geom_measures",
+    # deterministic synthesized ways from orders keys (both engines
+    # build the same arrays); length = haversine fold, area = shoelace
+    # with cos(mean-lat) scaling, centroid = vertex mean. floor(x·10^d
+    # + 0.5)/10^d rounding — identical IEEE ops in both engines (q02).
+    f"""
+    WITH ways AS (
+      SELECT o_orderkey AS way_id,
+             CAST(3 + o_orderkey % 5 AS BIGINT) AS m,
+             list_transform(range(1, CAST(3 + o_orderkey % 5 AS BIGINT) + 1),
+               k -> {_SQL_LAT.format(k="(o_orderkey * 31 + k * 7)")}) AS lats,
+             list_transform(range(1, CAST(3 + o_orderkey % 5 AS BIGINT) + 1),
+               k -> {_SQL_LON.format(k="(o_orderkey * 31 + k * 7)")}) AS lons
+      FROM orders WHERE o_orderkey % 37 = 0),
+    nums AS (SELECT unnest(range(1, 8)) AS i),
+    segs AS (
+      SELECT way_id,
+             {_haversine_sql("list_extract(lats, CAST(i AS INT))",
+                             "list_extract(lons, CAST(i AS INT))",
+                             "list_extract(lats, CAST(i AS INT) + 1)",
+                             "list_extract(lons, CAST(i AS INT) + 1)")} AS d
+      FROM ways JOIN nums ON i <= m - 1),
+    lens AS (SELECT way_id, sum(d) AS len FROM segs GROUP BY way_id),
+    crs AS (
+      SELECT way_id,
+             list_extract(lons, CAST(i AS INT)) * list_extract(lats, CAST(i % m + 1 AS INT))
+           - list_extract(lons, CAST(i % m + 1 AS INT)) * list_extract(lats, CAST(i AS INT)) AS c
+      FROM ways JOIN nums ON i <= m),
+    ars AS (SELECT way_id, abs(sum(c)) / 2 AS half_cross FROM crs GROUP BY way_id)
+    SELECT w.way_id,
+           CAST(w.m AS BIGINT) AS n_points,
+           floor(l.len * 10 + 0.5) / 10 AS length_m,
+           floor(a.half_cross
+                 * (pi() * 6371000.0 / 180.0) * cos(radians(list_sum(w.lats) / w.m))
+                 * (pi() * 6371000.0 / 180.0) + 0.5) AS area_m2,
+           floor(list_sum(w.lats) / w.m * 1000000 + 0.5) / 1000000 AS c_lat,
+           floor(list_sum(w.lons) / w.m * 1000000 + 0.5) / 1000000 AS c_lon
+    FROM ways w JOIN lens l USING (way_id) JOIN ars a USING (way_id)
+    """,
+    "geometry measures over synthesized way arrays: haversine path "
+    "length, shoelace ring area (cos-lat scaled), vertex centroid — "
+    "pure JVM Column math vs live SQL mirror (round 4)",
+)
+def q57(spark, sf_dir):
+    from ..functions.geo import centroid_col, path_length_m_col, ring_area_m2_col
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    m = (F.lit(3) + F.col("o_orderkey") % 5).cast("long")
+    key = lambda k: F.col("o_orderkey") * 31 + k * 7  # noqa: E731
+    ways = o.select(
+        F.col("o_orderkey").alias("way_id"),
+        m.alias("m"),
+        F.transform(F.sequence(F.lit(1), m), lambda k: _lat(key(k))).alias("lats"),
+        F.transform(F.sequence(F.lit(1), m), lambda k: _lon(key(k))).alias("lons"),
+    )
+    return ways.select(
+        "way_id",
+        F.col("m").alias("n_points"),
+        (F.floor(path_length_m_col(F.col("lats"), F.col("lons")) * 10 + 0.5) / 10).alias(
+            "length_m"
+        ),
+        F.floor(ring_area_m2_col(F.col("lats"), F.col("lons")) + 0.5).alias("area_m2"),
+        (F.floor(centroid_col(F.col("lats")) * 1000000 + 0.5) / 1000000).alias("c_lat"),
+        (F.floor(centroid_col(F.col("lons")) * 1000000 + 0.5) / 1000000).alias("c_lon"),
+    )
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries

@@ -289,3 +289,56 @@ def test_dp_simplify_matches_cleanroom_recursion():
     lo = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
     assert dp_keep_mask(la, lo, 1.5).sum() == 2
     assert dp_keep_mask(la, lo, 0.5).sum() == 5
+
+
+def test_path_length_area_centroid_columns(spark):
+    """Round-4 geometry measures: haversine fold vs numpy, shoelace
+    area of a known square, vertex centroid; degenerate (<2 / <3 point)
+    guards return 0 instead of tripping ANSI sequence descent."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.functions.geo import (
+        EARTH_RADIUS_M,
+        centroid_col,
+        path_length_m_col,
+        ring_area_m2_col,
+    )
+
+    # ~1km square at lat 10: side 0.01 deg lat ≈ 1111.95 m
+    side = 0.01
+    lats = [10.0, 10.0, 10.0 + side, 10.0 + side]
+    lons = [20.0, 20.0 + side, 20.0 + side, 20.0]
+    df = spark.createDataFrame(
+        [(1, lats, lons), (2, [5.0], [6.0]), (3, [], [])],
+        "way_id long, lats array<double>, lons array<double>",
+    )
+    out = {
+        r.way_id: r
+        for r in df.select(
+            "way_id",
+            path_length_m_col(F.col("lats"), F.col("lons")).alias("len"),
+            ring_area_m2_col(F.col("lats"), F.col("lons")).alias("area"),
+            centroid_col(F.col("lats")).alias("clat"),
+        ).collect()
+    }
+    # open path length (3 sides) vs numpy haversine
+    def hav(a, b, c, d):
+        p = np.radians([a, b, c, d])
+        x = (
+            np.sin((p[2] - p[0]) / 2) ** 2
+            + np.cos(p[0]) * np.cos(p[2]) * np.sin((p[3] - p[1]) / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(min(x, 1.0)))
+
+    expected_len = sum(
+        hav(lats[i], lons[i], lats[i + 1], lons[i + 1]) for i in range(3)
+    )
+    assert abs(out[1].len - expected_len) < 1e-6
+    # area ≈ (side·m_per_deg)·(side·m_per_deg·cos(lat)) for the square
+    m_per_deg = np.pi * EARTH_RADIUS_M / 180.0
+    expected_area = (side * m_per_deg) * (side * m_per_deg * np.cos(np.radians(10.005)))
+    assert abs(out[1].area - expected_area) / expected_area < 1e-3
+    assert abs(out[1].clat - 10.005) < 1e-9
+    assert out[2].len == 0.0 and out[2].area == 0.0
+    assert out[3].len == 0.0 and out[3].area == 0.0

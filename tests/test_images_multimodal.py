@@ -166,3 +166,20 @@ def test_image_neardup_pairs_vs_bruteforce(spark):
                      and k[0][4:] == k[1][4:]}
     assert len(variant_pairs) >= 20  # 24 planted; rare high-energy outliers may exceed the radius
     assert variant_pairs <= set(want)
+
+
+def test_image_dedup_keep_list_transitive(spark):
+    """Keep-list composition (round 4): with a transitive chain A~B~C
+    the keep-list retains exactly the canonical member per cluster and
+    every unpaired image — semantics the raw pair list cannot express."""
+    from osm_read_enhanced_spark.operators.multimodal import image_dedup_keep_list
+
+    rows = [
+        ("img_a", 0b0000),   # a~b (ham 1), b~c (ham 1), a~c (ham 2) — one cluster
+        ("img_b", 0b0001),
+        ("img_c", 0b0011),
+        ("img_z", ~0 << 20), # far from everything
+    ]
+    imgs = spark.createDataFrame(rows, "image_id string, phash long")
+    keep = {r.image_id: r.keep for r in image_dedup_keep_list(imgs, max_hamming=3).collect()}
+    assert keep == {"img_a": True, "img_b": False, "img_c": False, "img_z": True}
