@@ -293,3 +293,81 @@ def kmeans_fit(
             if m.any():
                 cent[j] = M[m].mean(0)
     return cent
+
+
+def quantize_embeddings(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """→ (id_col, qvec: array<int> in [-127, 127], scale): symmetric
+    per-vector int8-style quantization, q_i = floor(v_i/scale·127 + .5),
+    scale = max|v_i| — the standard storage/IO reduction for 100-TB
+    embedding tables (8× vs float64 on disk and over the shuffle wire).
+    Pure Column math; the de-quantized value is q_i·scale/127. All-zero
+    vectors quantize to all-zero (scale 0 guarded via try_divide).
+
+    floor(x+0.5) rather than round(): identical IEEE ops in Spark and
+    DuckDB, so the q58 oracle mirrors the quantizer bit-for-bit.
+    """
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    scale = F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.coalesce(
+            F.floor(F.try_divide(x, scale) * 127 + 0.5), F.lit(0)
+        ).cast("int"),
+    )
+    return vectors.select(F.col(id_col), q.alias("qvec"), scale.alias("scale"))
+
+
+def ann_bruteforce_topk_quantized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """→ (query_id, vec_id, rank, cosine_q) top-k by the cosine of the
+    QUANTIZED vectors (per-vector scales cancel in cosine, so only the
+    int8 grids matter) — the memory-bound baseline for quantized ANN.
+    Integer dot products keep the arithmetic exactly reproducible in
+    the SQL oracle; recall vs the exact float path is pinned by test
+    (≥0.9 @ k=5 on clustered synthetics, the standard int8 trade)."""
+    qv = quantize_embeddings(vectors, id_col, vec_col)
+    qq = quantize_embeddings(queries, query_id_col, vec_col).withColumnsRenamed(
+        {"qvec": "_qq", "scale": "_sq"}
+    )
+    qnorm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    cand = (
+        qv.crossJoin(F.broadcast(qq))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.aggregate(
+                F.zip_with("qvec", "_qq", lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("_dot"),
+            qnorm(F.col("qvec")).alias("_na"),
+            qnorm(F.col("_qq")).alias("_nb"),
+        )
+    )
+    scored = cand.select(
+        query_id_col,
+        id_col,
+        (
+            F.floor(F.try_divide(F.col("_dot"), F.col("_na") * F.col("_nb")) * 10000 + 0.5)
+            / 10000
+        ).alias("cosine_q"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_q").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "cosine_q")
+    )

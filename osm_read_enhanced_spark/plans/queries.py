@@ -2131,6 +2131,51 @@ def q57(spark, sf_dir):
     )
 
 
+@q_ext(
+    "q58_ann_quantized",
+    # live mirror of the int8 quantizer (floor(x/s*127+0.5), identical
+    # IEEE ops both engines) + quantized-cosine top-k, q32's shape
+    """
+    WITH sc AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) AS s
+      FROM embeddings),
+    qv AS (
+      SELECT vec_id,
+             CASE WHEN s = 0
+                  THEN list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(embedding,
+                       x -> floor(CAST(x AS DOUBLE) / s * 127 + 0.5))
+             END AS qvec
+      FROM sc)
+    SELECT * FROM (
+      SELECT q.vec_id AS query_id, v.vec_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY floor(list_cosine_similarity(v.qvec, q.qvec) * 10000 + 0.5)
+                          / 10000 DESC,
+                        v.vec_id) AS rank,
+             floor(list_cosine_similarity(v.qvec, q.qvec) * 10000 + 0.5) / 10000
+               AS cosine_q
+      FROM qv v CROSS JOIN (SELECT * FROM qv WHERE vec_id < 8) q
+      WHERE v.vec_id != q.vec_id)
+    WHERE rank <= 5
+    """,
+    "int8-quantized brute-force cosine top-k (round 4: the 8x "
+    "storage/shuffle reduction path for 100-TB embedding tables; "
+    "quantizer + scoring mirrored live in SQL; recall vs exact float "
+    "pinned in pytest)",
+)
+def q58(spark, sf_dir):
+    from ..operators.ann import ann_bruteforce_topk_quantized
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_bruteforce_topk_quantized(e, qs, k=5)
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries

@@ -175,3 +175,48 @@ def test_lsh_multiprobe_raises_recall(spark, vectors):
     r0, r3, r6 = recall(0), recall(3), recall(6)
     assert r0 <= r3 + 1e-9 and r3 <= r6 + 1e-9
     assert r6 >= 0.8
+
+
+def test_quantized_ann_recall_vs_exact(spark):
+    """int8 quantization (round 4): recall@5 vs the exact float path
+    must stay high on clustered synthetics, and the quantizer must be
+    an exact [-127,127] integer grid with correct dequantization."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.ann import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_quantized,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(8, 24))
+    M = np.vstack([c + rng.normal(scale=0.25, size=(25, 24)) for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>",
+    )
+    qs = df.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in ann_bruteforce_topk(df, qs, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    quant = {}
+    for r in ann_bruteforce_topk_quantized(df, qs, k=5).collect():
+        quant.setdefault(r.query_id, set()).add(r.vec_id)
+    assert exact.keys() == quant.keys()
+    recalls = [len(exact[q] & quant[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # quantizer grid + dequantization error bound: |v_i - q_i*s/127| <= s/254
+    rows = quantize_embeddings(df.limit(10)).collect()
+    orig = {int(r.vec_id): M[int(r.vec_id)] for r in rows}
+    for r in rows:
+        q = np.array(r.qvec)
+        assert q.dtype.kind == "i" and np.abs(q).max() <= 127
+        v = orig[int(r.vec_id)]
+        assert abs(r.scale - np.abs(v).max()) < 1e-12
+        deq = q * r.scale / 127.0
+        assert np.abs(deq - v).max() <= r.scale / 254.0 + 1e-12
