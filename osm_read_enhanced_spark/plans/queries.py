@@ -2176,6 +2176,41 @@ def q58(spark, sf_dir):
     return ann_bruteforce_topk_quantized(e, qs, k=5)
 
 
+@q_ext(
+    "q59_prefix_filter_jaccard",
+    # live oracle = BRUTE-FORCE all-pairs distinct-token Jaccard with
+    # the same integer threshold (5i >= 4u for tau=4/5) — the prefix
+    # filter must lose nothing vs it (exact-join guarantee)
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE length(w) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT x.id_a, x.id_b,
+           floor(x.i * 1.0 / (sa.n + sb.n - x.i) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter x
+    JOIN sizes sa ON sa.doc_id = x.id_a
+    JOIN sizes sb ON sb.doc_id = x.id_b
+    WHERE x.i * 5 >= (sa.n + sb.n - x.i) * 4
+    """,
+    "exact Jaccard similarity self-join via Bayardo prefix filtering "
+    "(rarest-token prefixes → equi-join candidates, no LSH, no false "
+    "negatives; round 4) vs a brute-force all-pairs oracle",
+)
+def q59(spark, sf_dir):
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries

@@ -220,3 +220,37 @@ def test_quantized_ann_recall_vs_exact(spark):
         assert abs(r.scale - np.abs(v).max()) < 1e-12
         deq = q * r.scale / 127.0
         assert np.abs(deq - v).max() <= r.scale / 254.0 + 1e-12
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """Bayardo prefix filtering (round 4) is EXACT: pairs must equal a
+    clean-room python brute force over distinct-token Jaccard, on a
+    corpus with low global overlap (so prefixes genuinely prune)."""
+    import itertools
+    import random
+
+    from osm_read_enhanced_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rng = random.Random(31)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        docs.append((i, " ".join(rng.sample(vocab, 12))))
+    for i in range(60, 80):  # planted near-dups of earlier docs
+        base = docs[i - 60][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((i, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    tau = 0.7
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_pairs(df, threshold=tau).collect()
+    }
+    sets = {i: set(t.lower().split()) for i, t in docs}
+    expected = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 10 >= union * 7:  # tau = 7/10, exact integers
+            expected[(a, b)] = int(inter / union * 10000 + 0.5) / 10000
+    assert got == expected and len(expected) >= 15
