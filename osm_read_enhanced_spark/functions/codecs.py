@@ -253,3 +253,50 @@ def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return img[np.ix_(ys, xs)]
+
+
+def sniff_metadata(data: bytes) -> tuple[str, int, int]:
+    """→ (fmt, w, h) from the payload HEADER only — no pixel decode, no
+    inflate (round 4: the metadata-only scan for images, the image
+    analogue of the PBF metadata-only element counts: filter/partition
+    on dimensions without paying the decode). Detects by magic bytes."""
+    if data[:2] == b"P6":
+        # reuse the PPM header walk (stops before pixel data)
+        parts, pos = [], 2
+        while len(parts) < 2:
+            while data[pos : pos + 1].isspace():
+                pos += 1
+            if data[pos : pos + 1] == b"#":
+                while data[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while not data[pos : pos + 1].isspace():
+                pos += 1
+            parts.append(int(data[start:pos]))
+        return "ppm", parts[0], parts[1]
+    if data[:2] == b"BM":
+        w, h = struct.unpack("<ii", data[18:26])
+        return "bmp", w, abs(h)
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if data[:4] == b"DCT1":
+        w, h = struct.unpack("<HH", data[4:8])
+        return "dct", w, h
+    if data[:2] == b"\xff\xd8":
+        pos = 2
+        while pos < len(data) - 1:
+            if data[pos] != 0xFF:
+                break
+            marker = data[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2 carry dimensions
+                h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
+                return "jpeg", w, h
+            pos += seglen
+        raise ValueError("jpeg without SOF header")
+    raise ValueError(f"unknown image payload (magic {data[:4]!r})")

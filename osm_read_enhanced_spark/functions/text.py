@@ -406,3 +406,31 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def redact_col(text: Column) -> Column:
+    """Training-data scrubbing (round 4): replace email addresses, URLs
+    and long digit runs with typed placeholders — pure Column
+    regexp_replace chain (JVM-side, no Python; RE2-compatible patterns
+    so the DuckDB oracle mirrors them verbatim). The standard
+    pre-training redaction pass for web-scraped corpora."""
+    e = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    u = F.regexp_replace(e, r"https?://[^ \t\n]+", "<URL>")
+    return F.regexp_replace(u, r"[0-9]{6,}", "<NUM>")
+
+
+REDACT_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ \t\n]+",
+    "num": r"[0-9]{6,}",
+}
+
+
+def redact_counts_cols(text: Column) -> dict[str, Column]:
+    """Per-category match counts (audit trail next to the redaction)."""
+    return {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for name, pat in REDACT_PATTERNS.items()
+    }

@@ -352,3 +352,34 @@ def decode_external_format(images: DataFrame, fmt: str) -> DataFrame:
             f"{codecs.FORMATS} are fully supported via decode_stats()"
         ) from e
     raise NotImplementedError("external decode path not implemented")  # pragma: no cover
+
+
+def image_metadata(images: DataFrame) -> DataFrame:
+    """Metadata-ONLY scan of the binary payload column (round 4): per
+    row (fmt_detected, width, height, n_bytes) from headers alone — no
+    inflate, no IDCT, no pixel buffers. This is how a 100-TB pipeline
+    filters by dimension/format before paying any decode: the image
+    analogue of the PBF reader's metadata-only counts (SURVEY §2.6 A2).
+    Stored fmt is NOT trusted — detection is by magic bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("fmt_detected", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_bytes", T.IntegerType(), False),
+        ]
+    )
+
+    def run(it):
+        for pdf in it:
+            rows = []
+            for img_id, data in zip(pdf["image_id"], pdf["bytes"]):
+                data = bytes(data)
+                fmt, w, h = codecs.sniff_metadata(data)
+                rows.append((img_id, fmt, w, h, len(data)))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "fmt_detected", "width", "height", "n_bytes"]
+            )
+
+    return images.select("image_id", "bytes").mapInPandas(run, schema)

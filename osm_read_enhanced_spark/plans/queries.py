@@ -2211,6 +2211,55 @@ def q59(spark, sf_dir):
     )
 
 
+@q_ext(
+    "q60_redaction",
+    # synthesized PII-shaped text from orders keys (identical string
+    # construction both engines); the redaction chain + audit counts
+    # run live in DuckDB with the same RE2 patterns ('g' = replace all,
+    # Spark's regexp_replace default)
+    """
+    WITH src AS (
+      SELECT o_orderkey AS doc_id,
+             'contact user' || CAST(o_orderkey AS VARCHAR)
+               || '@example.com or https://ex.org/o/'
+               || CAST(o_orderkey AS VARCHAR) || ' ref '
+               || lpad(CAST(o_orderkey AS VARCHAR), 9, '0') || ' done' AS t
+      FROM orders WHERE o_orderkey % 29 = 0)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             'https?://[^ \\t\\n]+', '<URL>', 'g'),
+             '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, 'https?://[^ \\t\\n]+')) AS BIGINT) AS n_url,
+           CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS BIGINT) AS n_num
+    FROM src
+    """,
+    "PII-shaped redaction pass (emails/URLs/long digit runs → typed "
+    "placeholders, JVM regexp chain) + per-category audit counts "
+    "(round 4) vs a live SQL mirror",
+)
+def q60(spark, sf_dir):
+    from ..functions.text import redact_col, redact_counts_cols
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 29 == 0)
+    k = F.col("o_orderkey").cast("string")
+    t = F.concat(
+        F.lit("contact user"), k, F.lit("@example.com or https://ex.org/o/"),
+        k, F.lit(" ref "), F.lpad(k, 9, "0"), F.lit(" done"),
+    )
+    src = o.select(F.col("o_orderkey").alias("doc_id"), t.alias("t"))
+    counts = redact_counts_cols(F.col("t"))
+    return src.select(
+        "doc_id",
+        redact_col(F.col("t")).alias("redacted"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["url"].cast("long").alias("n_url"),
+        counts["num"].cast("long").alias("n_num"),
+    )
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries

@@ -183,3 +183,26 @@ def test_image_dedup_keep_list_transitive(spark):
     imgs = spark.createDataFrame(rows, "image_id string, phash long")
     keep = {r.image_id: r.keep for r in image_dedup_keep_list(imgs, max_hamming=3).collect()}
     assert keep == {"img_a": True, "img_b": False, "img_c": False, "img_z": True}
+
+
+def test_image_metadata_header_only(spark):
+    """Metadata-only scan: fmt/width/height from headers must match the
+    stored columns for every in-repo format INCLUDING jpeg, with the
+    format detected from magic bytes (stored fmt untrusted)."""
+    from osm_read_enhanced_spark.operators.multimodal import image_metadata
+    from osm_read_enhanced_spark.sources.images import (
+        build_images_df,
+        build_jpeg_images_df,
+    )
+
+    total = 0
+    for imgs in (
+        build_images_df(spark, n=12, partitions=2),
+        build_jpeg_images_df(spark, n=6, partitions=2),
+    ):
+        meta = {r.image_id: r for r in image_metadata(imgs).collect()}
+        for r in imgs.select("image_id", "fmt", "w", "h").collect():
+            m = meta[r.image_id]
+            assert (m.fmt_detected, m.width, m.height) == (r.fmt, r.w, r.h), r.image_id
+        total += len(meta)
+    assert total == 18
