@@ -1,0 +1,81 @@
+"""Text retrieval ranking (round 4 breadth): BM25 scoring + top-k over
+a document table — the standard lexical-retrieval scorer a training-
+data pipeline uses for query-based corpus slicing and dedup triage.
+
+Public Okapi BM25 (Robertson & Zaragoza 2009, the +1 idf variant that
+keeps weights positive):
+
+    idf(t)      = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )
+    score(q, d) = Σ_{t∈q} idf(t) · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·|d|/avgdl))
+
+Everything is plain DataFrame algebra — explode to (doc, term) rows,
+two map-side-combinable aggregations (tf and df), one broadcast-sized
+join against the query terms, a window top-k. No UDFs; a DuckDB oracle
+mirrors it verbatim (q61).
+
+Scale shape: the token explode shuffles once on term for df and once
+on doc for tf; the query-term join is a broadcast (queries are tiny);
+per-query top-k is one window over |matching docs|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, rank, score) top-k documents for the term list.
+
+    Tokens = whitespace words of the lowercased text (tf counts every
+    occurrence, unlike the dedup ops' distinct sets). Scores are
+    floor(x·10⁴+0.5)/10⁴-rounded with doc-id tie-break so ordering is
+    reproducible in the SQL oracle.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    n_docs = docs.count()
+    lens = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    avgdl = lens.agg(F.avg("dl").alias("a")).first()["a"]
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.filter(F.array_contains(terms, F.col("w")))
+        .groupBy(id_col, "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = (
+        toks.filter(F.array_contains(terms, F.col("w")))
+        .groupBy("w")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(lens, id_col)
+        .withColumn("_c", contrib)
+        .groupBy(id_col)
+        .agg((F.floor(F.sum("_c") * 10000 + 0.5) / 10000).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "score")
+    )

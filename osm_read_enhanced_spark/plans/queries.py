@@ -2260,6 +2260,135 @@ def q60(spark, sf_dir):
     )
 
 
+_Q61_TERMS = ("join", "hash", "vector", "shuffle", "broadcast")
+
+
+@q_ext(
+    "q61_bm25_topk",
+    # verbatim BM25 mirror (same tokenization, same +1-idf formula,
+    # same floor rounding and doc-id tie-break)
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    lens AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM lens) AS avgdl),
+    qt AS (SELECT unnest({list(_Q61_TERMS)!r}) AS w),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN (SELECT w FROM qt) GROUP BY doc_id, w),
+    idf AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks
+            WHERE w IN (SELECT w FROM qt) GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             floor(sum(
+               ln((s.n - i.df + 0.5) / (i.df + 0.5) + 1.0)
+               * (t.tf * (1.2 + 1.0)
+                  / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl)))
+             ) * 10000 + 0.5) / 10000 AS score
+      FROM tf t JOIN idf i USING (w) JOIN lens l USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+             AS rank,
+           score
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    "Okapi BM25 lexical top-k over the documents table (round 4: "
+    "query-based corpus slicing; pure DataFrame algebra, no UDFs) vs a "
+    "verbatim live SQL mirror",
+)
+def q61(spark, sf_dir):
+    from ..operators.ranking import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), list(_Q61_TERMS), k=10
+    ).withColumn("rank", F.col("rank").cast("long"))
+
+
+@q_ext(
+    "q62_stats_aggregates",
+    # statistical aggregate surface: correlation, sample covariance,
+    # stddev, regression slope/intercept — both engines' native aggs
+    """
+    SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+             AS corr_qty_price,
+           floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000
+             AS covar_qty_disc,
+           floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS std_qty,
+           floor(regr_slope(l_extendedprice, l_quantity) * 10000 + 0.5) / 10000
+             AS slope_price_on_qty,
+           floor(regr_intercept(l_extendedprice, l_quantity) * 100 + 0.5) / 100
+             AS icept_price_on_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "statistical aggregates (corr / covar_samp / stddev / regr_slope / "
+    "regr_intercept) per group (round 4; engine §2.6 breadth)",
+)
+def q62(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return li.groupBy("l_returnflag").agg(
+        r4(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r4(F.covar_samp("l_quantity", "l_discount")).alias("covar_qty_disc"),
+        r4(F.stddev_samp("l_quantity")).alias("std_qty"),
+        r4(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope_price_on_qty"),
+        (F.floor(F.regr_intercept("l_extendedprice", "l_quantity") * 100 + 0.5) / 100).alias(
+            "icept_price_on_qty"
+        ),
+    )
+
+
+@q_ext(
+    "q63_locf_resample",
+    # oracle: generate_series hourly grid + DuckDB's NATIVE ASOF JOIN
+    # (independent second engine for the gap-fill semantics, like q49)
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('hour', min(ts)) AS t0,
+             date_trunc('hour', max(ts)) AS t1
+      FROM events WHERE user_id < 40 GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS gts
+      FROM bounds),
+    obs AS (SELECT user_id, ts AS ots, value FROM events WHERE user_id < 40)
+    SELECT g.user_id,
+           strftime(g.gts, '%Y-%m-%d %H:%M:%S') AS grid_ts,
+           floor(o.value * 10000 + 0.5) / 10000 AS value_locf
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.gts >= o.ots
+    """,
+    "time-series LOCF resampling: hourly grid per key + last-"
+    "observation-carried-forward via the as-of operator (round 4; "
+    "oracle = DuckDB native ASOF JOIN, independent engine)",
+)
+def q63(spark, sf_dir):
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("t0"),
+        F.date_trunc("hour", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("t0"), F.col("t1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("ts"),
+    )
+    obs = ev.select("user_id", "ts", F.col("value").alias("obs_value"))
+    out = asof_join(grid, obs, on=["user_id"], direction="backward")
+    return out.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("grid_ts"),
+        (F.floor(F.col("obs_value") * 10000 + 0.5) / 10000).alias("value_locf"),
+    )
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries
