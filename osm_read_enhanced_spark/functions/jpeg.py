@@ -3,15 +3,19 @@ spec (the reference repo has no image path at all; this closes the
 round-3 VERDICT missing #2: baseline JPEG is the most common real-world
 image payload a 100-TB multimodal pipeline ingests).
 
-Decoder (the deliverable): baseline sequential DCT, 8-bit precision,
-Huffman entropy coding (T.81 §F.2.2 DECODE/RECEIVE/EXTEND), 1- or
-3-component frames, sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0),
-DRI/RSTn restart markers, APPn/COM skip. Progressive (SOF2) and
-arithmetic coding raise NotImplementedError honestly. Dequantization,
-inverse-zigzag, IDCT, upsampling and YCbCr→RGB all run as batched numpy
-over every block of a component at once — only the inherently
-sequential Huffman symbol walk is a python loop (same boundary as the
-PNG unfilter loop in codecs.py).
+Decoder (the deliverable): baseline sequential DCT (SOF0) AND
+progressive DCT (SOF2 — spectral selection + successive approximation
+per T.81 Annex G: DC first/refine, AC first with EOB runs, AC
+refinement with correction bits), 8-bit precision, Huffman entropy
+coding (T.81 §F.2.2 DECODE/RECEIVE/EXTEND via flat 16-bit-peek
+tables), 1- or 3-component frames, sampling factors up to 2×2
+(4:4:4 / 4:2:2 / 4:2:0), DRI/RSTn restart markers, APPn/COM skip.
+Lossless/hierarchical SOFs and arithmetic coding raise
+NotImplementedError honestly. Dequantization, inverse-zigzag, IDCT,
+upsampling and YCbCr→RGB all run as batched numpy over every block of
+a component at once — only the inherently sequential Huffman symbol
+walk is a python loop (same boundary as the PNG unfilter loop in
+codecs.py).
 
 Encoder (test-vector generator): Annex K quantization tables scaled by
 an IJG-style quality factor, Annex K.3 Huffman tables, 4:4:4 or 4:2:0.
@@ -229,7 +233,14 @@ def _triangle_upsample_axis(p: np.ndarray, axis: int) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes → uint8 (h, w, 3) RGB."""
+    """JFIF bytes → uint8 (h, w, 3) RGB.
+
+    Baseline sequential (SOF0) AND progressive (SOF2, round 4: spectral
+    selection + successive approximation per T.81 Annex G — DC
+    first/refine, AC first with EOB runs, AC refinement with correction
+    bits). Every scan accumulates into the shared per-component
+    coefficient store; reconstruction (dequant + batched IDCT +
+    upsample + color convert) runs once at EOI."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -237,17 +248,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
+    coef = None
     restart_interval = 0
-    while pos < len(data):
+    saw_scan = False
+    while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"only baseline sequential DCT (SOF0) supported, got SOF{marker - 0xC0}"
+                "only baseline (SOF0) and progressive (SOF2) DCT supported, "
+                f"got SOF{marker - 0xC0}"
             )
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
         seg = data[pos + 2 : pos + seglen]
@@ -262,13 +276,33 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 q.flat[_ZZ_FLAT] = tbl  # zigzag → row-major
                 qt[tq] = q
                 p += 65
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if hmax > 2 or vmax > 2:
+                raise NotImplementedError("sampling factors above 2 unsupported")
+            frame = {
+                "w": w, "h": h, "comps": comps, "prog": marker == 0xC2,
+                "hmax": hmax, "vmax": vmax,
+                "mcus_x": -(-w // (8 * hmax)), "mcus_y": -(-h // (8 * vmax)),
+            }
+            coef = [
+                np.zeros((frame["mcus_y"] * c["v"], frame["mcus_x"] * c["h"], 64),
+                         dtype=np.int32)
+                for c in comps
+            ]
+            # non-interleaved scans traverse only the UNPADDED per-
+            # component block grid (T.81 A.2.2)
+            for c in comps:
+                cw = -(-w * c["h"] // hmax)
+                chh = -(-h * c["v"] // vmax)
+                c["nbx"], c["nby"] = -(-cw // 8), -(-chh // 8)
+            frame["eobrun"] = 0
         elif marker == 0xC4:  # DHT — possibly several tables
             p = 0
             while p < len(seg):
@@ -280,46 +314,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — scan follows
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
             scan_sel = []
             for i in range(ns):
                 cs, tdta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_sel.append({"id": cs, "td": tdta >> 4, "ta": tdta & 0xF})
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
             pos += seglen
-            return _decode_scan(
-                data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+            br, rst_marks, pos = _entropy_segment(data, pos)
+            _apply_scan(
+                frame, coef, scan_sel, huff_dc, huff_ac, restart_interval,
+                br, rst_marks, ss, se, ah, al,
             )
+            saw_scan = True
+            continue  # pos already at the next marker
         # APPn / COM / anything else: skip
         pos += seglen
-    raise ValueError("no SOS scan found")
+    if not saw_scan:
+        raise ValueError("no SOS scan found")
+    return _reconstruct(frame, coef, qt)
 
 
-def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval):
-    if frame is None:
-        raise ValueError("SOS before SOF0")
-    comps = frame["comps"]
-    if len(scan_sel) != len(comps):
-        raise NotImplementedError("only single interleaved scan")
-    w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if hmax > 2 or vmax > 2:
-        raise NotImplementedError("sampling factors above 2 unsupported")
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    sel_by_id = {s["id"]: s for s in scan_sel}
-    # per-component zigzag coefficient store, filled by the entropy walk,
-    # then dequant + IDCT runs batched over all blocks at once
-    coef = []
-    for c in comps:
-        bx, by = mcus_x * c["h"], mcus_y * c["v"]
-        coef.append(np.zeros((by, bx, 64), dtype=np.int32))
-
-    # unstuff the entropy-coded segment: 0xFF00 → 0xFF; note RSTn offsets
-    end = pos
+def _entropy_segment(data, pos):
+    """Unstuff the entropy-coded bytes from ``pos`` to the next non-RST
+    marker → (_BitReader, rst bit marks, position of that marker)."""
     chunks = []
-    rst_bit_marks = []  # bit offset (in unstuffed stream) where each RST cut
+    rst_bit_marks = []
     out_len = 0
     i = pos
     while i < len(data) - 1:
@@ -335,30 +359,53 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_inter
                 rst_bit_marks.append(out_len * 8)
                 i += 2
                 continue
-            end = i
             break
         chunks.append(data[i : i + 1])
         out_len += 1
         i += 1
-    br = _BitReader(b"".join(chunks))
-    rst_iter = iter(rst_bit_marks)
+    return _BitReader(b"".join(chunks)), rst_bit_marks, i
 
-    # hoist per-component decode context out of the MCU loop (the
-    # entropy walk is the decoder's only python-per-symbol section)
+
+def _apply_scan(frame, coef, scan_sel, huff_dc, huff_ac, ri, br, rst_marks, ss, se, ah, al):
+    if frame["prog"]:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            _scan_prog_dc(frame, coef, scan_sel, huff_dc, ri, br, rst_marks, ah, al)
+        else:
+            _scan_prog_ac(frame, coef, scan_sel, huff_ac, ri, br, rst_marks, ss, se, ah, al)
+    else:
+        _scan_sequential(frame, coef, scan_sel, huff_dc, huff_ac, ri, br, rst_marks)
+
+
+def _restart(br, rst_iter, ri, unit_count):
+    """At a restart boundary: byte-align and jump to the recorded RSTn
+    cut. Returns True when predictors/EOB runs must reset."""
+    if ri and unit_count and unit_count % ri == 0:
+        br.align()
+        nxt_mark = next(rst_iter, None)
+        if nxt_mark is not None and br.pos != nxt_mark:
+            br.pos = nxt_mark  # tolerate padding before the marker
+        return True
+    return False
+
+
+def _scan_sequential(frame, coef, scan_sel, huff_dc, huff_ac, ri, br, rst_marks):
+    comps = frame["comps"]
+    if len(scan_sel) != len(comps):
+        raise NotImplementedError("non-interleaved baseline scans unsupported")
+    sel_by_id = {s["id"]: s for s in scan_sel}
     ctx = []
     for ci, c in enumerate(comps):
         sel = sel_by_id[c["id"]]
         ctx.append((ci, c["h"], c["v"], huff_dc[sel["td"]], huff_ac[sel["ta"]]))
     pred = [0] * len(comps)
     receive = br.receive
+    rst_iter = iter(rst_marks)
     mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align()
-                nxt_mark = next(rst_iter, None)
-                if nxt_mark is not None and br.pos != nxt_mark:
-                    br.pos = nxt_mark  # tolerate padding before the marker
+    for my in range(frame["mcus_y"]):
+        for mx in range(frame["mcus_x"]):
+            if _restart(br, rst_iter, ri, mcu_count):
                 pred = [0] * len(comps)
             for ci, ch, cv, dc_tab, ac_tab in ctx:
                 dec_dc, dec_ac = dc_tab.decode, ac_tab.decode
@@ -389,7 +436,159 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_inter
                             k += 1
             mcu_count += 1
 
-    # batched dequant + inverse zigzag + IDCT per component
+
+def _scan_blocks_noninterleaved(frame, ci):
+    """Raster traversal of component ci's UNPADDED block grid."""
+    c = frame["comps"][ci]
+    for by in range(c["nby"]):
+        for bx in range(c["nbx"]):
+            yield by, bx
+
+
+def _scan_prog_dc(frame, coef, scan_sel, huff_dc, ri, br, rst_marks, ah, al):
+    """Progressive DC scan (T.81 G.2): first pass (Ah=0) codes DC
+    diffs shifted left by Al; refinement (Ah>0) appends one bit/block."""
+    comps = frame["comps"]
+    idx_by_id = {c["id"]: i for i, c in enumerate(comps)}
+    sel = [(idx_by_id[s["id"]], s["td"]) for s in scan_sel]
+    receive = br.receive
+    rst_iter = iter(rst_marks)
+    pred = [0] * len(comps)
+    if len(sel) == len(comps):  # interleaved MCU traversal
+        mcu_count = 0
+        for my in range(frame["mcus_y"]):
+            for mx in range(frame["mcus_x"]):
+                if _restart(br, rst_iter, ri, mcu_count):
+                    pred = [0] * len(comps)
+                for ci, td in sel:
+                    c = comps[ci]
+                    for v in range(c["v"]):
+                        for u in range(c["h"]):
+                            blk = coef[ci][my * c["v"] + v, mx * c["h"] + u]
+                            if ah == 0:
+                                t = huff_dc[td].decode(br)
+                                if t:
+                                    d = receive(t)
+                                    pred[ci] += (
+                                        d if d >= (1 << (t - 1)) else d - (1 << t) + 1
+                                    )
+                                blk[0] = pred[ci] << al
+                            else:  # refinement: one bit
+                                if receive(1):
+                                    blk[0] = int(blk[0]) | (1 << al)
+                mcu_count += 1
+    else:  # single-component DC scan (rare but legal)
+        (ci, td) = sel[0]
+        count = 0
+        for by, bx in _scan_blocks_noninterleaved(frame, ci):
+            if _restart(br, rst_iter, ri, count):
+                pred = [0] * len(comps)
+            blk = coef[ci][by, bx]
+            if ah == 0:
+                t = huff_dc[td].decode(br)
+                if t:
+                    d = receive(t)
+                    pred[ci] += d if d >= (1 << (t - 1)) else d - (1 << t) + 1
+                blk[0] = pred[ci] << al
+            else:
+                if receive(1):
+                    blk[0] = int(blk[0]) | (1 << al)
+            count += 1
+
+
+def _scan_prog_ac(frame, coef, scan_sel, huff_ac, ri, br, rst_marks, ss, se, ah, al):
+    """Progressive AC scan (T.81 G.2, the jdphuff shape): first pass
+    (Ah=0) codes magnitudes<<Al with EOB runs; refinement (Ah>0) sends
+    correction bits for history-nonzero coefficients and inserts new
+    ±(1<<Al) coefficients, interleaved with the same EOB-run coding."""
+    if len(scan_sel) != 1:
+        raise ValueError("progressive AC scans are single-component")
+    comps = frame["comps"]
+    idx_by_id = {c["id"]: i for i, c in enumerate(comps)}
+    ci = idx_by_id[scan_sel[0]["id"]]
+    ac_tab = huff_ac[scan_sel[0]["ta"]]
+    dec = ac_tab.decode
+    receive = br.receive
+    rst_iter = iter(rst_marks)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    count = 0
+    for by, bx in _scan_blocks_noninterleaved(frame, ci):
+        if _restart(br, rst_iter, ri, count):
+            eobrun = 0
+        blk = coef[ci][by, bx]
+        if ah == 0:  # ---- first pass
+            if eobrun:
+                eobrun -= 1
+            else:
+                k = ss
+                while k <= se:
+                    rs = dec(br)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += receive(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("corrupt JPEG: AC index beyond Se")
+                    d = receive(s)
+                    blk[k] = (d if d >= (1 << (s - 1)) else d - (1 << s) + 1) << al
+                    k += 1
+        else:  # ---- refinement pass
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = dec(br)
+                    r, s = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += receive(r)
+                            break
+                        # r == 15: skip 16 history-zero coefficients
+                    else:
+                        if s != 1:
+                            raise ValueError("corrupt JPEG: refine size != 1")
+                        newval = p1 if receive(1) else m1
+                    # advance over r history-zero coeffs (emitting
+                    # correction bits for nonzero ones), then place
+                    while k <= se:
+                        v = int(blk[k])
+                        if v != 0:
+                            if receive(1) and (v & p1) == 0:
+                                blk[k] = v + (p1 if v >= 0 else m1)
+                        else:
+                            if r == 0:
+                                if newval:
+                                    blk[k] = newval
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+            if eobrun > 0:
+                # EOB band: correction bits only, through Se
+                while k <= se:
+                    v = int(blk[k])
+                    if v != 0:
+                        if receive(1) and (v & p1) == 0:
+                            blk[k] = v + (p1 if v >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+        count += 1
+
+
+def _reconstruct(frame, coef, qt):
+    """Shared tail: batched dequant + inverse zigzag + IDCT + upsample
+    + color conversion."""
+    comps = frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for ci, c in enumerate(comps):
         q = qt[c["tq"]]
@@ -406,10 +605,9 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_inter
             plane = _triangle_upsample_axis(plane, 0)
         if hmax // c["h"] == 2:
             plane = _triangle_upsample_axis(plane, 1)
-        planes.append(plane[: mcus_y * vmax * 8, : mcus_x * hmax * 8])
+        planes.append(plane[: frame["mcus_y"] * vmax * 8, : frame["mcus_x"] * hmax * 8])
     if len(planes) == 1:
-        ycc = np.stack([planes[0]] * 3, axis=-1)
-        rgb = ycc
+        rgb = np.stack([planes[0]] * 3, axis=-1)
     else:
         y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
         rgb = np.stack(
@@ -420,7 +618,7 @@ def _decode_scan(data, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_inter
             ],
             axis=-1,
         )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[: frame["h"], : frame["w"]]
 
 
 # ----------------------------------------------------------------- encoder

@@ -158,11 +158,17 @@ def test_restart_markers_decode_identically():
     )
 
 
-def test_progressive_rejected():
+def test_unsupported_sof_rejected():
+    """Lossless/hierarchical SOFs still reject clearly (progressive is
+    now SUPPORTED — see test_we_decode_jvm_progressive); a file that
+    CLAIMS progressive but carries a baseline scan errors as corrupt."""
     data = bytearray(encode_jpeg(render_image(0), 90))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # SOF0 → SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC3  # SOF0 → SOF3 (lossless sequential)
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC2  # progressive header over a baseline scan
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
 
 
@@ -218,6 +224,43 @@ def test_we_decode_jvm_bytes(spark):
     theirs = _jvm_decode(jvm, data)
     assert psnr(theirs, ours) >= 45.0
     assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 4
+
+
+def test_we_decode_jvm_progressive(spark):
+    """PROGRESSIVE (SOF2) decode — round 4: javax.imageio's progressive
+    writer emits real multi-scan files (DC first Al=1 + spectral AC
+    bands + DC/AC successive-approximation refinements, verified by
+    marker dump); our decoder must match the JVM's own decode of them
+    near-exactly, incl. the 4:2:0 chroma and a non-multiple-of-16
+    size."""
+    jvm = spark._jvm
+
+    def encode_progressive(img):
+        h, w = img.shape[:2]
+        bim = jvm.java.awt.image.BufferedImage(w, h, 1)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in img[y, x])
+                bim.setRGB(x, y, (r << 16) | (g << 8) | b)
+        writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+        param = writer.getDefaultWriteParam()
+        param.setProgressiveMode(jvm.javax.imageio.ImageWriteParam.MODE_DEFAULT)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
+        writer.setOutput(ios)
+        writer.write(None, jvm.javax.imageio.IIOImage(bim, None, None), param)
+        ios.flush()
+        return bytes(baos.toByteArray())
+
+    for idx, (w, h) in [(3, (32, 32)), (11, (40, 24))]:
+        img = render_image(idx, w=w, h=h)
+        data = encode_progressive(img)
+        assert b"\xff\xc2" in data  # really SOF2
+        ours = decode_jpeg(data)
+        theirs = _jvm_decode(jvm, data)
+        diff = np.abs(theirs.astype(int) - ours.astype(int))
+        assert diff.max() <= 7 and diff.mean() < 1.0, (idx, diff.max())
+        assert psnr(theirs, ours) >= 45.0
 
 
 def test_we_decode_jvm_grayscale(spark):
