@@ -48,7 +48,9 @@ def test_banded_boundary_straddle_both_orientations(spark, monkeypatch):
     the HIGHER bucket must survive (ADVICE r3 high). Both boundary
     orientations are planted; u is pinned to e1 so bucket placement is
     exact and sign-independent."""
-    monkeypatch.setattr(dedup, "_dominant_direction", lambda *a, **k: [1.0, 0.0])
+    # pin a single projection direction so bucket placement is exact
+    # (the operator's multi-direction upgrade keeps the same contract)
+    monkeypatch.setattr(dedup, "_projection_directions", lambda *a, **k: [[1.0, 0.0]])
     tau = 0.9
     delta = math.sqrt(2.0 - 2.0 * tau)
     eps = 0.004
