@@ -186,3 +186,40 @@ def test_variant_image_square_fixture_unchanged():
         expected = render_image(idx).astype(np.int16)
         expected[y : y + VARIANT_PATCH, x : x + VARIANT_PATCH] += patch
         assert (img == np.clip(expected, 0, 255).astype(np.uint8)).all()
+
+
+def test_banded_multidir_mixed_sign_offsets(spark, monkeypatch):
+    """k>1 banding regression: a qualifying pair whose cells differ by
+    (+1, −1) across two directions is reachable from NEITHER side under
+    the 1-D {0,+1}-and-swap probing — only the symmetric {−1,0,+1}^k
+    probe finds it. Directions pinned to the first two axes."""
+    monkeypatch.setattr(
+        dedup, "_projection_directions",
+        lambda *a, **k: [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]],
+    )
+    tau = 0.9
+    delta = math.sqrt(2.0 - 2.0 * tau)
+    eps = 0.003
+
+    def vec(p1, p2):
+        z = math.sqrt(max(1.0 - p1 * p1 - p2 * p2, 0.0))
+        return [p1, p2, z, 0.0]
+
+    rows = [
+        (1, vec(delta + eps, delta - eps)),  # cell (1, 0)
+        (2, vec(delta - eps, delta + eps)),  # cell (0, 1) → offset (+1, -1)
+        (3, vec(delta - eps, delta - eps)),  # cell (0, 0)
+        (4, vec(delta + eps, delta + eps)),  # cell (1, 1)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_banded(df, threshold=tau).collect()
+    }
+    expected = {(a, b) for a in range(1, 5) for b in range(a + 1, 5)}
+    assert got == expected, f"missing: {expected - got}"
+    bcast = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs_broadcast(df, threshold=tau).collect()
+    }
+    assert got == bcast
