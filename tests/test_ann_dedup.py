@@ -254,3 +254,31 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark):
         if inter * 10 >= union * 7:  # tau = 7/10, exact integers
             expected[(a, b)] = int(inter / union * 10000 + 0.5) / 10000
     assert got == expected and len(expected) >= 15
+
+
+def test_arrow_bruteforce_equals_jvm_bruteforce(spark):
+    """The Arrow-vectorized scorer (round 4) must produce EXACTLY the
+    JVM fold path's top-k — same rounding, same tie-break."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.ann import (
+        ann_bruteforce_topk,
+        ann_bruteforce_topk_arrow,
+    )
+
+    rng = np.random.default_rng(5)
+    M = rng.normal(size=(300, 16))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+    qs = df.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ann_bruteforce_topk(df, qs, k=7).collect()))
+    b = sorted(map(tuple, ann_bruteforce_topk_arrow(df, qs, k=7).collect()))
+    assert len(a) == len(b) == 6 * 7
+    for (qa, va, ra, ca), (qb, vb, rb, cb) in zip(a, b):
+        assert (qa, va, ra) == (qb, vb, rb)
+        assert abs(ca - cb) < 1e-9
