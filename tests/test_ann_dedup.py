@@ -282,3 +282,31 @@ def test_arrow_bruteforce_equals_jvm_bruteforce(spark):
     for (qa, va, ra, ca), (qb, vb, rb, cb) in zip(a, b):
         assert (qa, va, ra) == (qb, vb, rb)
         assert abs(ca - cb) < 1e-9
+
+
+def test_quantized_arrow_equals_quantized_jvm(spark):
+    """The Arrow quantized scorer must equal the JVM-fold quantized
+    path exactly (same int8 grid, same rounding, same tie-break)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from osm_read_enhanced_spark.operators.ann import (
+        ann_bruteforce_topk_quantized,
+        ann_bruteforce_topk_quantized_arrow,
+    )
+
+    rng = np.random.default_rng(8)
+    M = rng.normal(size=(250, 12))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>",
+    ).repartition(6)
+    qs = df.filter(F.col("vec_id") % 50 == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, ann_bruteforce_topk_quantized(df, qs, k=6).collect()))
+    b = sorted(map(tuple, ann_bruteforce_topk_quantized_arrow(df, qs, k=6).collect()))
+    assert len(a) == len(b) == 5 * 6
+    for (qa, va, ra, ca), (qb, vb, rb, cb) in zip(a, b):
+        assert (qa, va, ra) == (qb, vb, rb)
+        assert abs(ca - cb) < 1e-9
