@@ -69,6 +69,19 @@ def _haversine_col(lat1, lon1, lat2, lon2):
     return haversine_col(lat1, lon1, lat2, lon2)
 
 
+def _sql_mulmod64(v: str, c_full: int) -> str:
+    """a·c mod 2^64 in DuckDB SQL with the multiply split into 32-bit
+    halves (HUGEINT is signed-127-bit; a full 64×64 product overflows):
+    a·c ≡ a_lo·c + ((a_hi·c mod 2^32) << 32)  (mod 2^64). Shared by the
+    SimHash and MinHash live oracles."""
+    c_lo32 = c_full % (1 << 32)
+    return (
+        f"CAST(((CAST({v} % 4294967296 AS HUGEINT) * {c_full}) "
+        f"+ (((CAST({v} AS HUGEINT) // 4294967296) * {c_lo32}) % 4294967296) * 4294967296"
+        f") % 18446744073709551616 AS UBIGINT)"
+    )
+
+
 QUERIES: dict[str, QueryDef] = {}
 
 # Overflow registry. The driver's correctness gate records at most 50
@@ -837,10 +850,143 @@ def q28(spark, sf_dir):
     )
 
 
+# --- q29: LIVE MinHash-LSH oracle (round 4 — de-pins the last text-
+# dedup golden). The ENTIRE pipeline is re-implemented in DuckDB SQL
+# with pure-integer arithmetic, so parity with the numpy kernels is
+# exact, not float-lucky:
+#   words        — whitespace split with generate_subscripts positions
+#   word hashes  — the splitmix64 polynomial byte hash (q30 machinery)
+#   gram hashes  — Horner over ≤5-word windows in POLYNOMIAL form
+#                  (Σ whash·G^(gend−pos) mod 2^64, G-powers CTE,
+#                  column×column split multiply), mix64, top-31 bits;
+#                  short docs get one gram, empty docs the mix64(0)
+#                  constant — identical to shingle_hashes_batch
+#   signatures   — min((a·x+b) mod 2^31−1) over 64 embedded (a,b)
+#                  permutation PARAMETERS (parameters, not data — the
+#                  same standing as embedded regex patterns)
+#   band hashes  — 16×4 FNV-1a fold, 63-bit mask
+#   pairs        — band-bucket self-join + signature-match fraction
+# The mod-2^64 multiplies use 32-bit-split arithmetic (signed-HUGEINT
+# ceiling, see _sql_mulmod64).
+
+
+def _sql_mulmod64_cols(a: str, b: str) -> str:
+    """a·b mod 2^64 for two COLUMN operands (a UBIGINT, b HUGEINT<2^64)."""
+    return (
+        f"CAST(((CAST(({a}) % 4294967296 AS HUGEINT) * ({b}))"
+        f" + ((((CAST({a} AS HUGEINT) // 4294967296) * (({b}) % 4294967296))"
+        f" % 4294967296) * 4294967296)"
+        f") % 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    import numpy as np
+
+    from ..functions.text import _minhash_params, _mix64
+
+    a_arr, b_arr = _minhash_params(64)
+    perm_vals = ", ".join(
+        f"({i}, {int(a_arr[i])}, {int(b_arr[i])})" for i in range(64)
+    )
+    G = 0x9E3779B97F4A7C15
+    FNV_P = 1099511628211
+    FNV_B = 14695981039346656037
+    empty_gram = int(_mix64(np.zeros(1, dtype=np.uint64))[0]) >> 33
+    mm = _sql_mulmod64
+    return f"""
+    WITH RECURSIVE powers(i, v) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, (v * 1099511628211) % 18446744073709551616
+        FROM powers WHERE i < 1023
+    ),
+    gpow(i, v) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, CAST({mm('CAST(v AS UBIGINT)', G)} AS HUGEINT)
+        FROM gpow WHERE i < 4
+    ),
+    words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+      FROM documents WHERE length(trim(text)) > 0),
+    vocab AS (SELECT DISTINCT w FROM words),
+    vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
+    vpoly AS (
+      SELECT w, CAST(sum(
+          (CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+1 AS INT), 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+2 AS INT), 1)) - 1 AS HUGEINT)) * p.v
+        ) % 18446744073709551616 AS UBIGINT) AS v
+      FROM vhex JOIN powers p ON p.i < n GROUP BY w),
+    vm1 AS (SELECT w, xor(v, v >> 30) AS v FROM vpoly),
+    vm2 AS (SELECT w, {mm('v', 0xBF58476D1CE4E5B9)} AS v FROM vm1),
+    vm3 AS (SELECT w, xor(v, v >> 27) AS v FROM vm2),
+    vm4 AS (SELECT w, {mm('v', 0x94D049BB133111EB)} AS v FROM vm3),
+    vhash AS (SELECT w, xor(v, v >> 31) AS h FROM vm4),
+    wh AS (SELECT wo.doc_id, wo.pos, v.h FROM words wo JOIN vhash v USING (w)),
+    lens AS (SELECT doc_id, max(pos) AS n FROM wh GROUP BY doc_id),
+    gstarts AS (
+      SELECT doc_id, n, unnest(range(1, CASE WHEN n >= 5 THEN n - 3 ELSE 2 END)) AS g
+      FROM lens),
+    gacc AS (
+      SELECT m.doc_id, m.g, CAST(sum(
+          CAST({_sql_mulmod64_cols('w.h', 'p.v')} AS HUGEINT)
+        ) % 18446744073709551616 AS UBIGINT) AS v
+      FROM (SELECT doc_id, g, least(g + 4, n) AS gend FROM gstarts) m
+      JOIN wh w ON w.doc_id = m.doc_id AND w.pos BETWEEN m.g AND m.gend
+      JOIN gpow p ON p.i = m.gend - w.pos
+      GROUP BY m.doc_id, m.g),
+    gm1 AS (SELECT doc_id, g, xor(v, v >> 30) AS v FROM gacc),
+    gm2 AS (SELECT doc_id, g, {mm('v', 0xBF58476D1CE4E5B9)} AS v FROM gm1),
+    gm3 AS (SELECT doc_id, g, xor(v, v >> 27) AS v FROM gm2),
+    gm4 AS (SELECT doc_id, g, {mm('v', 0x94D049BB133111EB)} AS v FROM gm3),
+    grams AS (
+      SELECT doc_id, CAST(xor(v, v >> 31) >> 33 AS BIGINT) AS x FROM gm4
+      UNION ALL
+      SELECT doc_id, {empty_gram} AS x
+      FROM documents WHERE length(trim(text)) = 0),
+    perms(i, a, b) AS (VALUES {perm_vals}),
+    sigs AS (
+      SELECT doc_id, i, min((a * x + b) % 2147483647) AS s
+      FROM grams CROSS JOIN perms GROUP BY doc_id, i),
+    bandv AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             max(CASE WHEN i % 4 = 0 THEN s END) AS s0,
+             max(CASE WHEN i % 4 = 1 THEN s END) AS s1,
+             max(CASE WHEN i % 4 = 2 THEN s END) AS s2,
+             max(CASE WHEN i % 4 = 3 THEN s END) AS s3
+      FROM sigs GROUP BY doc_id, i // 4),
+    bh0 AS (SELECT doc_id, band,
+              xor(CAST({FNV_B} AS UBIGINT), CAST(band + 1 AS UBIGINT)) AS h,
+              s0, s1, s2, s3 FROM bandv),
+    bh1 AS (SELECT doc_id, band, {mm('xor(h, CAST(s0 AS UBIGINT))', FNV_P)} AS h, s1, s2, s3 FROM bh0),
+    bh2 AS (SELECT doc_id, band, {mm('xor(h, CAST(s1 AS UBIGINT))', FNV_P)} AS h, s2, s3 FROM bh1),
+    bh3 AS (SELECT doc_id, band, {mm('xor(h, CAST(s2 AS UBIGINT))', FNV_P)} AS h, s3 FROM bh2),
+    bh4 AS (SELECT doc_id, band, {mm('xor(h, CAST(s3 AS UBIGINT))', FNV_P)} AS h FROM bh3),
+    buckets AS (SELECT doc_id, band, CAST(h & 9223372036854775807 AS BIGINT) AS bucket FROM bh4),
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             sum(CASE WHEN sa.s = sb.s THEN 1 ELSE 0 END) / 64.0 AS e
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b, round(e, 6) AS est_jaccard FROM est WHERE e >= 0.5
+    """
+
+
 @q(
     "q29_minhash_dups",
-    None,
-    "MinHash-LSH near-dup pairs over documents (pipeline extra; rows-only)",
+    _minhash_oracle_sql(),
+    "MinHash-LSH near-dup pairs over documents — FULL LIVE SQL oracle "
+    "(round 4: shingle/permutation/band pipeline re-implemented in "
+    "DuckDB with pure-integer arithmetic; the pinned golden is gone)",
 )
 def q29(spark, sf_dir):
     from ..operators.dedup import minhash_lsh_pairs
@@ -866,15 +1012,6 @@ def q29(spark, sf_dir):
 # accumulators, so the packed int64 (and its bit-63 sign hazard) never
 # materializes. Tie rule acc>0 matches simhash64's 2·ones > n_words.
 # NOTE: must be composed with WITH RECURSIVE (powers CTE).
-
-
-def _sql_mulmod64(v: str, c_full: int) -> str:
-    c_lo32 = c_full % (1 << 32)
-    return (
-        f"CAST(((CAST({v} % 4294967296 AS HUGEINT) * {c_full}) "
-        f"+ (((CAST({v} AS HUGEINT) // 4294967296) * {c_lo32}) % 4294967296) * 4294967296"
-        f") % 18446744073709551616 AS UBIGINT)"
-    )
 
 
 _SIMHASH_ACC_CTE = f"""
