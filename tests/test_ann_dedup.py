@@ -310,3 +310,49 @@ def test_quantized_arrow_equals_quantized_jvm(spark):
     for (qa, va, ra, ca), (qb, vb, rb, cb) in zip(a, b):
         assert (qa, va, ra) == (qb, vb, rb)
         assert abs(ca - cb) < 1e-9
+
+
+def test_distributed_lloyd_matches_cleanroom(spark):
+    """Distributed Lloyd refinement (round 4): per-partition partial
+    sums + tiny groupBy per iteration must produce EXACTLY the
+    centroids of a clean-room single-machine Lloyd run from the same
+    initialization, and must not increase the k-means objective vs the
+    sample-only fit."""
+    import numpy as np
+
+    from osm_read_enhanced_spark.operators.ann import (
+        kmeans_fit,
+        kmeans_lloyd_distributed,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(5, 8)) * 6
+    M = np.vstack([c + rng.normal(scale=0.4, size=(200, 8)) for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in M[i]]) for i in range(len(M))],
+        "vec_id long, embedding array<double>",
+    ).repartition(8)
+
+    got = kmeans_lloyd_distributed(df, k=5, iters=6, seed=7)
+
+    # clean-room Lloyd from the SAME init over the full data
+    cent = kmeans_fit(df, k=5, seed=7)
+    for _ in range(6):
+        d2 = (M * M).sum(1)[:, None] - 2 * (M @ cent.T) + (cent * cent).sum(1)[None, :]
+        lab = d2.argmin(1)
+        new = cent.copy()
+        for j in range(5):
+            m = lab == j
+            if m.any():
+                new[j] = M[m].mean(0)
+        if np.abs(new - cent).max() < 1e-6:
+            cent = new
+            break
+        cent = new
+    assert np.allclose(got, cent, atol=1e-9), np.abs(got - cent).max()
+
+    def objective(c):
+        d2 = (M * M).sum(1)[:, None] - 2 * (M @ c.T) + (c * c).sum(1)[None, :]
+        return float(d2.min(1).sum())
+
+    assert objective(got) <= objective(kmeans_fit(df, k=5, seed=7)) + 1e-9
