@@ -451,6 +451,11 @@ def _scan_prog_dc(frame, coef, scan_sel, huff_dc, ri, br, rst_marks, ah, al):
     comps = frame["comps"]
     idx_by_id = {c["id"]: i for i, c in enumerate(comps)}
     sel = [(idx_by_id[s["id"]], s["td"]) for s in scan_sel]
+    if 1 < len(sel) < len(comps):
+        # T.81 allows partially-interleaved scans; none of our test
+        # vectors (incl. ImageIO progressive) produce them — reject
+        # loudly rather than silently decoding a component subset
+        raise NotImplementedError("partially-interleaved DC scans unsupported")
     receive = br.receive
     rst_iter = iter(rst_marks)
     pred = [0] * len(comps)

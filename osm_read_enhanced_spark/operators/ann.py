@@ -421,6 +421,8 @@ def ann_bruteforce_topk_arrow(
 
     def score(it):
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch / partition
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             Mn = M / np.maximum(np.linalg.norm(M, axis=1)[:, None], 1e-300)
@@ -493,6 +495,8 @@ def ann_bruteforce_topk_quantized_arrow(
 
     def score(it):
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch / partition
+                continue
             ids = pdf[id_col].to_numpy()
             M = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
             Mq, _ = _quantize(M)
@@ -564,6 +568,8 @@ def kmeans_lloyd_distributed(
 
         def partial(it, c=c, c_norm2=c_norm2):
             for pdf in it:
+                if len(pdf) == 0:  # empty Arrow batch / partition
+                    continue
                 M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
                 d2 = (M * M).sum(1)[:, None] - 2 * (M @ c.T) + c_norm2[None, :]
                 lab = d2.argmin(1)
