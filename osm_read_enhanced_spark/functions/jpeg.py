@@ -254,16 +254,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     while pos < len(data) - 1:
         if data[pos] != 0xFF:
             raise ValueError(f"marker expected at {pos}")
+        # spec-legal 0xFF fill bytes before the marker code (T.81
+        # B.1.1.2): skip the run, the last 0xFF is the marker prefix
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG: marker code missing")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn at table level: parameterless markers —
+            # no length field follows (ADVICE r4)
+            continue
         if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 "only baseline (SOF0) and progressive (SOF2) DCT supported, "
                 f"got SOF{marker - 0xC0}"
             )
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG: segment length missing")
         (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if seglen < 2 or pos + seglen > len(data):
+            raise ValueError("truncated JPEG: segment exceeds data")
         seg = data[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT — possibly several tables
             p = 0
@@ -326,10 +340,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             ah, al = ahal >> 4, ahal & 0xF
             pos += seglen
             br, rst_marks, pos = _entropy_segment(data, pos)
-            _apply_scan(
-                frame, coef, scan_sel, huff_dc, huff_ac, restart_interval,
-                br, rst_marks, ss, se, ah, al,
-            )
+            try:
+                _apply_scan(
+                    frame, coef, scan_sel, huff_dc, huff_ac, restart_interval,
+                    br, rst_marks, ss, se, ah, al,
+                )
+            except IndexError as e:
+                # the bit reader ran off the end of the entropy data —
+                # surface a clean error instead of a raw IndexError
+                raise ValueError("truncated JPEG: entropy data exhausted") from e
             saw_scan = True
             continue  # pos already at the next marker
         # APPn / COM / anything else: skip

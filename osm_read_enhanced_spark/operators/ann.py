@@ -51,7 +51,7 @@ def ann_bruteforce_topk(
     scored = cand.select(
         query_id_col,
         id_col,
-        F.round(dot / (F.col("_nv") * F.col("_nq")), 6).alias("cosine"),
+        (F.floor(dot / (F.col("_nv") * F.col("_nq")) * 1e6 + 0.5) / 1e6).alias("cosine"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -160,7 +160,7 @@ def ann_lsh_topk(
         lambda a, x: a + x,
     )
     scored = cand.select(
-        query_id_col, id_col, F.round(dot / (F.col("_nv") * F.col("_nq")), 6).alias("cosine")
+        query_id_col, id_col, (F.floor(dot / (F.col("_nv") * F.col("_nq")) * 1e6 + 0.5) / 1e6).alias("cosine")
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -259,7 +259,7 @@ def ann_ivf_topk(
         lambda a, x: a + x,
     )
     scored = cand.select(
-        query_id_col, id_col, F.round(dot / (F.col("_nv") * F.col("_nq")), 6).alias("cosine")
+        query_id_col, id_col, (F.floor(dot / (F.col("_nv") * F.col("_nq")) * 1e6 + 0.5) / 1e6).alias("cosine")
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
@@ -435,8 +435,13 @@ def ann_bruteforce_topk_arrow(
                 if len(cand) == 0:
                     continue
                 # local top-k with the SAME tie-break as the JVM path:
-                # cosine desc (rounded), then id asc
-                cr = np.round(col[cand], round_to)
+                # cosine desc (rounded), then id asc. floor(x·10^r+0.5)
+                # — identical IEEE ops to the JVM path's floor Column
+                # (np.round is half-even, F.round HALF_UP: a cosine on
+                # an exact binary midpoint would flip rank between the
+                # twins — ADVICE r4)
+                scale = float(10 ** round_to)
+                cr = np.floor(col[cand] * scale + 0.5) / scale
                 order = np.lexsort((ids[cand], -cr))[: k]
                 sel = cand[order]  # absolute row positions in the batch
                 out_q.extend([int(q_ids[qi])] * len(sel))

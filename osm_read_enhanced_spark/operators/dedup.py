@@ -693,9 +693,14 @@ def prefix_filter_jaccard_pairs(
         .withColumn("rk", F.row_number().over(W.partitionBy(id_col).orderBy("df", "w")))
         .join(sizes, id_col)
     )
-    pref = ranked.filter(
-        F.col("rk") <= F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
-    ).select(id_col, "w")
+    # prefix bound with the SAME exact integers as the verify step:
+    # ceil(τ·n) = (n·p + q − 1) div q — a float ceil(float(τ)·n) can
+    # round up past the exact value and shrink the prefix by one,
+    # silently dropping qualifying pairs (ADVICE r4)
+    ceil_tau_n = F.expr(f"(n * {p} + {q - 1}) div {q}")
+    pref = ranked.filter(F.col("rk") <= F.col("n") - ceil_tau_n + 1).select(
+        id_col, "w"
+    )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(

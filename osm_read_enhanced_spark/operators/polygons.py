@@ -198,29 +198,55 @@ def relation_multipolygons(
         for role_name in ("outer", "inner"):
             segs = pdf[(pdf["role"] == role_name) | ((pdf["role"] == "") & (role_name == "outer"))]
             segs = segs.sort_values("morder")
-            open_segs = [
+            seg_list = [
                 (np.asarray(r.lats, dtype=np.float64), np.asarray(r.lons, dtype=np.float64))
                 for r in segs.itertuples()
             ]
+            # Endpoint-keyed continuation lookup (round 5 — VERDICT r4
+            # #3): the old linear scan of open segments per extension
+            # was O(segments²) per relation, which crawls on monster
+            # coastline-class relations. Keying both endpoints in dicts
+            # makes each extension O(1) while preserving the EXACT
+            # selection order of the scan it replaces: the chosen
+            # continuation is the lowest-index open segment matching
+            # either endpoint, start-match preferred for direction
+            # (equivalence pinned against a clean-room copy of the old
+            # scan in tests/test_polygons_stitch.py).
+            alive: dict[int, tuple[np.ndarray, np.ndarray]] = dict(
+                enumerate(seg_list)
+            )
+            start_at: dict[tuple[float, float], set[int]] = {}
+            end_at: dict[tuple[float, float], set[int]] = {}
+            for i, (sla, slo) in alive.items():
+                start_at.setdefault((sla[0], slo[0]), set()).add(i)
+                end_at.setdefault((sla[-1], slo[-1]), set()).add(i)
+
+            def _drop(i, sla, slo):
+                start_at[(sla[0], slo[0])].discard(i)
+                end_at[(sla[-1], slo[-1])].discard(i)
+
             ring_idx = 0
-            while open_segs:
-                la, lo = open_segs.pop(0)
+            seed = 0
+            while alive:
+                while seed not in alive:  # indices only ever die
+                    seed += 1
+                la, lo = alive.pop(seed)
+                _drop(seed, la, lo)
                 # extend until closed or no continuation found
-                changed = True
-                while changed and not (la[0] == la[-1] and lo[0] == lo[-1]):
-                    changed = False
-                    for i, (sla, slo) in enumerate(open_segs):
-                        if sla[0] == la[-1] and slo[0] == lo[-1]:
-                            la = np.concatenate([la, sla[1:]])
-                            lo = np.concatenate([lo, slo[1:]])
-                        elif sla[-1] == la[-1] and slo[-1] == lo[-1]:
-                            la = np.concatenate([la, sla[-2::-1]])
-                            lo = np.concatenate([lo, slo[-2::-1]])
-                        else:
-                            continue
-                        open_segs.pop(i)
-                        changed = True
+                while not (la[0] == la[-1] and lo[0] == lo[-1]):
+                    tail = (la[-1], lo[-1])
+                    cands = start_at.get(tail, set()) | end_at.get(tail, set())
+                    if not cands:
                         break
+                    j = min(cands)
+                    sla, slo = alive.pop(j)
+                    _drop(j, sla, slo)
+                    if sla[0] == la[-1] and slo[0] == lo[-1]:
+                        la = np.concatenate([la, sla[1:]])
+                        lo = np.concatenate([lo, slo[1:]])
+                    else:
+                        la = np.concatenate([la, sla[-2::-1]])
+                        lo = np.concatenate([lo, slo[-2::-1]])
                 closed = la[0] == la[-1] and lo[0] == lo[-1] and len(la) >= 4
                 if closed:
                     rows.append(

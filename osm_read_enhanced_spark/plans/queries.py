@@ -895,11 +895,20 @@ def _minhash_oracle_sql() -> str:
     empty_gram = int(_mix64(np.zeros(1, dtype=np.uint64))[0]) >> 33
     mm = _sql_mulmod64
     return f"""
-    WITH RECURSIVE powers(i, v) AS (
+    WITH RECURSIVE words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
+      FROM documents WHERE length(trim(text)) > 0),
+    vocab AS (SELECT DISTINCT w FROM words),
+    vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
+    -- powers bounded by the ACTUAL max token byte length (ADVICE r4: a
+    -- fixed 1023 cap silently truncated the hash of any longer token,
+    -- diverging from the numpy kernel which hashes all bytes)
+    powers(i, v) AS (
         SELECT 0, CAST(1 AS HUGEINT)
         UNION ALL
         SELECT i + 1, (v * 1099511628211) % 18446744073709551616
-        FROM powers WHERE i < 1023
+        FROM powers WHERE i < (SELECT coalesce(max(n), 1) FROM vhex) - 1
     ),
     gpow(i, v) AS (
         SELECT 0, CAST(1 AS HUGEINT)
@@ -907,12 +916,6 @@ def _minhash_oracle_sql() -> str:
         SELECT i + 1, CAST({mm('CAST(v AS UBIGINT)', G)} AS HUGEINT)
         FROM gpow WHERE i < 4
     ),
-    words AS (
-      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
-             generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
-      FROM documents WHERE length(trim(text)) > 0),
-    vocab AS (SELECT DISTINCT w FROM words),
-    vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
     vpoly AS (
       SELECT w, CAST(sum(
           (CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+1 AS INT), 1)) - 1) * 16
@@ -1015,17 +1018,20 @@ def q29(spark, sf_dir):
 
 
 _SIMHASH_ACC_CTE = f"""
-    powers(i, v) AS (
-        SELECT 0, CAST(1 AS HUGEINT)
-        UNION ALL
-        SELECT i + 1, (v * 1099511628211) % 18446744073709551616
-        FROM powers WHERE i < 1023
-    ),
     toks AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
       FROM documents WHERE length(trim(text)) > 0),
     vocab AS (SELECT DISTINCT w FROM toks),
     vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
+    -- powers bounded by the ACTUAL max token byte length (ADVICE r4: a
+    -- fixed 1023 cap silently truncated the hash of any longer token,
+    -- diverging from the numpy kernel which hashes all bytes)
+    powers(i, v) AS (
+        SELECT 0, CAST(1 AS HUGEINT)
+        UNION ALL
+        SELECT i + 1, (v * 1099511628211) % 18446744073709551616
+        FROM powers WHERE i < (SELECT coalesce(max(n), 1) FROM vhex) - 1
+    ),
     vpoly AS (
       SELECT w, CAST(sum(
           (CAST((strpos('0123456789ABCDEF', substr(hx, CAST(2*p.i+1 AS INT), 1)) - 1) * 16
@@ -1628,7 +1634,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship pipeline for entry(): synthesized geotagged points from
     customer keys → hex cell + slippy tile + bbox-PIP against the
     deterministic admin squares → per-(box, tile) rollup."""
-    q21_df = QUERIES["q21_bbox_pip"].fn(spark, sf_dir)
+    # q21 lives in the extended registry since the round-4 catalog
+    # restructure — look it up wherever it is registered (round 5: this
+    # line KeyError'd and broke entry() for a round)
+    q21_def = QUERIES.get("q21_bbox_pip") or QUERIES_EXTENDED["q21_bbox_pip"]
+    q21_df = q21_def.fn(spark, sf_dir)
     c = _t(spark, sf_dir, "customer")
     from ..functions.geo import tile_x_col, tile_y_col
 
