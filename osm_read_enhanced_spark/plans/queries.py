@@ -2536,6 +2536,46 @@ def q63(spark, sf_dir):
     )
 
 
+def _q66_oracle() -> str:
+    from ..operators.sharding import shard_key_poly_sql, shard_md5_sql
+
+    return f"""
+    WITH k AS (SELECT doc_id, {shard_md5_sql('doc_id', 42)} AS h FROM documents),
+    keys AS (SELECT doc_id, CAST({shard_key_poly_sql('h')} AS BIGINT) AS shard_key
+             FROM k)
+    SELECT doc_id, shard_key,
+           CAST(row_number() OVER (ORDER BY shard_key, doc_id) - 1 AS BIGINT)
+             AS shard_rank,
+           CAST((row_number() OVER (ORDER BY shard_key, doc_id) - 1) % 8 AS INT)
+             AS shard,
+           CAST(shard_key % 8 AS INT) AS shard_hash
+    FROM keys
+    """
+
+
+@q_ext(
+    "q66_shuffle_shard",
+    _q66_oracle(),
+    "deterministic shuffle-shard export assignment (round 5: seeded "
+    "md5 key, exact-balanced global-rank shards AND hash-mod shards, "
+    "both mirrored live in SQL; the distributed global rank uses "
+    "range-repartition + per-partition offsets, no single-partition "
+    "window)",
+)
+def q66(spark, sf_dir):
+    from ..operators.sharding import shuffle_shard_balanced
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    out = shuffle_shard_balanced(docs, 8, seed=42)
+    return out.select(
+        "doc_id",
+        "shard_key",
+        "shard_rank",
+        "shard",
+        F.pmod(F.col("shard_key"), F.lit(8)).cast("int").alias("shard_hash"),
+    )
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries
