@@ -2536,6 +2536,89 @@ def q63(spark, sf_dir):
     )
 
 
+# --- q64: HTML → text extraction + boilerplate scoring ------------------
+# The documents table is plain text, so each engine synthesizes the SAME
+# deterministic HTML page around it (shared template constants below),
+# then runs the extraction chain — making the whole path live-mirrored.
+_Q64_PRE = (
+    '<html><head><title>T</title><style>p {color: red}</style>'
+    '<script type="a">var x = 1 < 2 && y;</script></head><body>'
+    "<!-- hidden comment --><nav>"
+)
+_Q64_NAV = '<a href="/l">Nav Item</a>'
+_Q64_MID = '</nav><h1>Header &amp; "Q" &#39;s</h1><p>'
+_Q64_END = '</p><a href="/m">More &gt; Stuff</a></body></html>'
+
+
+def _q64_oracle() -> str:
+    from ..functions.html import (
+        anchor_text_sql,
+        html_to_text_sql,
+        n_links_sql,
+    )
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html_expr = (
+        f"concat({sq(_Q64_PRE)}, "
+        f"repeat({sq(_Q64_NAV)}, CAST(doc_id % 4 AS INT)), "
+        f"{sq(_Q64_MID)}, text, {sq(_Q64_END)})"
+    )
+    dens = (
+        "CASE WHEN length(t) > 0 THEN CAST(length(at) AS DOUBLE) / length(t) "
+        "ELSE 1.0 END"
+    )
+    ratio = (
+        "CASE WHEN length(html) > 0 THEN CAST(length(t) AS DOUBLE) / length(html) "
+        "ELSE 0.0 END"
+    )
+    return f"""
+    WITH hh AS (SELECT doc_id, {html_expr} AS html FROM documents),
+    tt AS (SELECT doc_id, html,
+                  {html_to_text_sql('html')} AS t,
+                  {anchor_text_sql('html')} AS at
+           FROM hh)
+    SELECT doc_id, t AS text_clean,
+           CAST({n_links_sql('html')} AS BIGINT) AS n_links,
+           floor(({dens}) * 10000 + 0.5) / 10000 AS link_density,
+           floor(({ratio}) * 10000 + 0.5) / 10000 AS text_ratio,
+           (({dens}) > 0.5 OR length(t) < 20) AS is_boilerplate
+    FROM tt
+    """
+
+
+@q_ext(
+    "q64_html_extract",
+    _q64_oracle(),
+    "HTML → text extraction + boilerplate scoring (round 5: comment/"
+    "script/style strip, tag strip, entity decode, link-density "
+    "heuristic — a pure JVM regexp chain in the Java-regex∩RE2 subset, "
+    "mirrored VERBATIM live in DuckDB)",
+)
+def q64(spark, sf_dir):
+    from ..functions.html import html_stats_cols
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_Q64_PRE),
+        F.repeat(F.lit(_Q64_NAV), (F.col("doc_id") % 4).cast("int")),
+        F.lit(_Q64_MID),
+        F.col("text"),
+        F.lit(_Q64_END),
+    )
+    s = html_stats_cols(html, link_density_max=0.5, min_chars=20)
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return docs.select(
+        "doc_id",
+        s["text"].alias("text_clean"),
+        s["n_links"].cast("long").alias("n_links"),
+        r4(s["link_density"]).alias("link_density"),
+        r4(s["text_ratio"]).alias("text_ratio"),
+        s["is_boilerplate"].alias("is_boilerplate"),
+    )
+
+
 def _q66_oracle() -> str:
     from ..operators.sharding import shard_key_poly_sql, shard_md5_sql
 
