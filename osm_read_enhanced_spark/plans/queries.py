@@ -2659,6 +2659,47 @@ def q66(spark, sf_dir):
     )
 
 
+def _q67_oracle() -> str:
+    # the FULL live MinHash SQL pipeline (q29's oracle) nested as a CTE;
+    # old corpus = doc_id % 4 != 0, today's batch = doc_id % 4 == 0
+    return f"""
+    WITH pairs AS ({_minhash_oracle_sql()})
+    SELECT d.doc_id,
+           EXISTS(SELECT 1 FROM pairs p
+                  WHERE (p.id_a = d.doc_id AND p.id_b % 4 != 0)
+                     OR (p.id_b = d.doc_id AND p.id_a % 4 != 0))
+             AS dup_of_corpus,
+           EXISTS(SELECT 1 FROM pairs p
+                  WHERE p.id_b = d.doc_id AND p.id_a % 4 = 0)
+             AS dup_in_batch,
+           NOT (EXISTS(SELECT 1 FROM pairs p
+                       WHERE (p.id_a = d.doc_id AND p.id_b % 4 != 0)
+                          OR (p.id_b = d.doc_id AND p.id_a % 4 != 0))
+                OR EXISTS(SELECT 1 FROM pairs p
+                          WHERE p.id_b = d.doc_id AND p.id_a % 4 = 0))
+             AS kept
+    FROM documents d WHERE d.doc_id % 4 = 0
+    """
+
+
+@q_ext(
+    "q67_incremental_dedup",
+    _q67_oracle(),
+    "incremental dedup of a new batch against the committed corpus "
+    "signature index + itself (round 5: the production dedup shape — "
+    "band-bucket probe join against the persisted index, verified "
+    "est >= tau, deterministic smaller-id rule within the batch; "
+    "oracle nests the full live MinHash SQL pipeline)",
+)
+def q67(spark, sf_dir):
+    from ..operators.dedup import incremental_dedup, minhash_index
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_dedup(new, minhash_index(old), threshold=0.5)
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries
