@@ -2619,6 +2619,21 @@ def q64(spark, sf_dir):
     )
 
 
+@q_ext(
+    "q65_bpe_tokens",
+    None,  # BPE merge application is not ANSI-SQL-expressible → pinned
+    "subword (BPE) token budget per document vs whitespace words "
+    "(round 5: classic Sennrich BPE trained in-repo on the corpus, "
+    "merge table committed as a fixture; per-DISTINCT-word Arrow "
+    "counting + vocab join; clean-room second encoder pins the "
+    "semantics in pytest)",
+)
+def q65(spark, sf_dir):
+    from ..functions.bpe import subword_token_counts
+
+    return subword_token_counts(_t(spark, sf_dir, "documents"))
+
+
 def _q66_oracle() -> str:
     from ..operators.sharding import shard_key_poly_sql, shard_md5_sql
 
