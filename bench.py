@@ -39,6 +39,11 @@ HEADLINE = [
     # round-3 operator heads: temporal + interval joins (events table)
     "q49_asof_join",
     "q50_range_join",
+    # round-5 operator heads: lexical retrieval (single-tokenize BM25),
+    # HTML extraction chain, shuffle-shard assignment (balanced rank)
+    "q61_bm25_topk",
+    "q64_html_extract",
+    "q66_shuffle_shard",
 ]
 
 
