@@ -1,0 +1,115 @@
+"""Training-corpus pipeline, composed end-to-end (round 5): the full
+path a 100-TB text-corpus build runs, assembled from this round's and
+prior rounds' independently-tested operators — this module is the
+composition, not new math:
+
+  raw HTML pages
+    → extract + boilerplate filter   (functions.html, q64 chain)
+    → exact dedup                    (operators.dedup.exact_dedup rule)
+    → near-dup vs committed index    (operators.dedup.incremental_dedup)
+    → subword token budget           (functions.bpe, committed merges)
+    → deterministic shuffle-shards   (operators.sharding)
+    → committed export + lineage     (sources.iceberg_lite)
+
+Stage semantics are the deterministic, oracle-mirrorable variants the
+individual queries use (min-id wins exact dedup; smaller-id-wins
+within-batch near-dup; seeded md5 shard key), so the ENTIRE pipeline's
+survivor set + shard assignment is reproducible run-to-run and
+mirrored live in SQL by q68.
+
+Scale shape: extraction/quality are narrow per-row JVM chains inside
+the scan stage; exact dedup is one hash shuffle; the near-dup probe is
+a band-bucket equi-join against the band-partitioned index; the token
+budget joins a vocab-sized Arrow stage back to the corpus; sharding is
+a narrow projection (hash mode). Nothing collects rows on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_corpus(
+    pages: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_chars: int = 20,
+    link_density_max: float = 0.5,
+    dedup_threshold: float = 0.5,
+    n_shards: int = 8,
+    seed: int = 0,
+    with_token_budget: bool = True,
+) -> DataFrame:
+    """pages(id, html) → surviving corpus rows with
+    (text, n_links, link_density, n_words, n_bpe_tokens, shard_key,
+    shard) — only rows that pass boilerplate, exact-dedup (min id per
+    identical text) and near-dup (vs ``index`` if given, and within the
+    batch) filters survive.
+
+    ``index``: a committed (id, sig, band, bucket) MinHash index from
+    prior runs (operators.dedup.minhash_index /
+    read_minhash_index); None → first run, batch-internal dedup only.
+    """
+    from ..functions.html import html_stats_cols
+    from ..operators.dedup import incremental_dedup, minhash_index
+    from ..operators.sharding import shuffle_shard
+
+    s = html_stats_cols(
+        F.col(html_col), link_density_max=link_density_max, min_chars=min_chars
+    )
+    extracted = pages.select(
+        F.col(id_col),
+        s["text"].alias("text"),
+        s["n_links"].cast("long").alias("n_links"),
+        (F.floor(s["link_density"] * 10000 + 0.5) / 10000).alias("link_density"),
+        s["is_boilerplate"].alias("_bp"),
+    ).filter(~F.col("_bp")).drop("_bp")
+
+    # exact dedup: min id per identical extracted text (one shuffle)
+    keep_exact = extracted.groupBy("text").agg(F.min(id_col).alias(id_col))
+    exact = extracted.join(keep_exact, ["text", id_col], "left_semi")
+
+    # near-dup: vs the committed index (if any) + within the batch
+    idx = index if index is not None else minhash_index(exact.limit(0), id_col, "text")
+    flags = incremental_dedup(
+        exact, idx, threshold=dedup_threshold, id_col=id_col, text_col="text"
+    )
+    survivors = exact.join(
+        flags.filter(F.col("kept")).select(id_col), id_col, "left_semi"
+    )
+
+    if with_token_budget:
+        from ..functions.bpe import subword_token_counts
+
+        budget = subword_token_counts(survivors, id_col=id_col, text_col="text")
+        survivors = survivors.join(budget, id_col)
+
+    return shuffle_shard(survivors, n_shards, seed=seed, id_col=id_col)
+
+
+def export_corpus(
+    corpus: DataFrame,
+    table_path: str,
+    run_id: str | None = None,
+    resume: bool = True,
+) -> list[dict]:
+    """Commit the sharded corpus through the iceberg-lite manifest —
+    one atomic partition per shard with observe-verified row counts; a
+    killed export resumes from the last committed shard.
+
+    ``run_id`` prefixes the partition ids (``run-shard``) so successive
+    batches APPEND to the same table instead of colliding with the
+    previous run's committed shard ids (resume semantics are per
+    partition id — without a distinct run_id, a second run over the
+    same path is a no-op, which is the right behavior for a re-run of
+    the SAME batch but not for a new one)."""
+    from ..sources.iceberg_lite import write_partitioned
+
+    if run_id is None:
+        return write_partitioned(corpus, table_path, "shard", resume=resume)
+    keyed = corpus.withColumn(
+        "pid", F.concat(F.lit(str(run_id)), F.lit("-"), F.col("shard"))
+    )
+    return write_partitioned(keyed, table_path, "pid", resume=resume)

@@ -880,7 +880,10 @@ def _sql_mulmod64_cols(a: str, b: str) -> str:
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(source: str = "documents") -> str:
+    """``source``: table/CTE name holding (doc_id, text) — q29 mirrors
+    the documents table; q68 points it at the pipeline's extracted-text
+    CTE (DuckDB resolves outer CTEs inside the nested WITH RECURSIVE)."""
     import numpy as np
 
     from ..functions.text import _minhash_params, _mix64
@@ -898,7 +901,7 @@ def _minhash_oracle_sql() -> str:
     WITH RECURSIVE words AS (
       SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w,
              generate_subscripts(string_split_regex(trim(lower(text)), '\\s+'), 1) AS pos
-      FROM documents WHERE length(trim(text)) > 0),
+      FROM {source} WHERE length(trim(text)) > 0),
     vocab AS (SELECT DISTINCT w FROM words),
     vhex AS (SELECT w, hex(encode(w)) AS hx, octet_length(encode(w)) AS n FROM vocab),
     -- powers bounded by the ACTUAL max token byte length (ADVICE r4: a
@@ -948,7 +951,7 @@ def _minhash_oracle_sql() -> str:
       SELECT doc_id, CAST(xor(v, v >> 31) >> 33 AS BIGINT) AS x FROM gm4
       UNION ALL
       SELECT doc_id, {empty_gram} AS x
-      FROM documents WHERE length(trim(text)) = 0),
+      FROM {source} WHERE length(trim(text)) = 0),
     perms(i, a, b) AS (VALUES {perm_vals}),
     sigs AS (
       SELECT doc_id, i, min((a * x + b) % 2147483647) AS s
@@ -2713,6 +2716,88 @@ def q67(spark, sf_dir):
     old = docs.filter(F.col("doc_id") % 4 != 0)
     new = docs.filter(F.col("doc_id") % 4 == 0)
     return incremental_dedup(new, minhash_index(old), threshold=0.5)
+
+
+def _q68_oracle() -> str:
+    from ..functions.html import (
+        anchor_text_sql,
+        html_to_text_sql,
+        n_links_sql,
+    )
+    from ..operators.sharding import shard_key_poly_sql, shard_md5_sql
+
+    def sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    html_expr = (
+        f"concat({sq(_Q64_PRE)}, "
+        f"repeat({sq(_Q64_NAV)}, CAST(doc_id % 4 AS INT)), "
+        f"{sq(_Q64_MID)}, text, {sq(_Q64_END)})"
+    )
+    return f"""
+    WITH hh AS (SELECT doc_id, {html_expr} AS html FROM documents),
+    ex0 AS (SELECT doc_id, html,
+                   {html_to_text_sql('html')} AS text,
+                   {anchor_text_sql('html')} AS at
+            FROM hh),
+    ex1 AS (SELECT doc_id, text,
+                   CAST({n_links_sql('html')} AS BIGINT) AS n_links,
+                   CASE WHEN length(text) > 0
+                        THEN CAST(length(at) AS DOUBLE) / length(text)
+                        ELSE 1.0 END AS dens
+            FROM ex0),
+    ex AS (SELECT doc_id, text, n_links,
+                  floor(dens * 10000 + 0.5) / 10000 AS link_density
+           FROM ex1 WHERE NOT (dens > 0.5 OR length(text) < 20)),
+    exact AS (SELECT e.* FROM ex e
+              JOIN (SELECT text, min(doc_id) AS doc_id FROM ex GROUP BY text) m
+              USING (text, doc_id)),
+    pairs AS ({_minhash_oracle_sql('exact')}),
+    surv AS (SELECT * FROM exact e WHERE NOT EXISTS
+               (SELECT 1 FROM pairs p WHERE p.id_b = e.doc_id)),
+    k AS (SELECT doc_id, {shard_md5_sql('doc_id', 42)} AS h FROM surv),
+    keys AS (SELECT doc_id, CAST({shard_key_poly_sql('h')} AS BIGINT)
+                    AS shard_key FROM k)
+    SELECT s.doc_id, s.text, s.n_links, s.link_density, keys.shard_key,
+           CAST(keys.shard_key % 8 AS INT) AS shard
+    FROM surv s JOIN keys USING (doc_id)
+    """
+
+
+@q_ext(
+    "q68_corpus_pipeline",
+    _q68_oracle(),
+    "END-TO-END training-corpus pipeline (round 5 capstone): HTML "
+    "synthesis → extraction + boilerplate filter → exact dedup → "
+    "MinHash near-dup (batch mode) → seeded shuffle-shard — the whole "
+    "composed path mirrored LIVE in one DuckDB query (the MinHash "
+    "pipeline nested over the extracted-text CTE)",
+)
+def q68(spark, sf_dir):
+    from ..pipelines.corpus import build_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_Q64_PRE),
+            F.repeat(F.lit(_Q64_NAV), (F.col("doc_id") % 4).cast("int")),
+            F.lit(_Q64_MID),
+            F.col("text"),
+            F.lit(_Q64_END),
+        ).alias("html"),
+    )
+    out = build_corpus(
+        pages,
+        index=None,
+        dedup_threshold=0.5,
+        n_shards=8,
+        seed=42,
+        with_token_budget=False,
+    )
+    return out.select(
+        "doc_id", "text", "n_links", "link_density", "shard_key", "shard"
+    )
 
 
 # ------------------------------------------------- apply pinned oracles
