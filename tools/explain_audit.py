@@ -59,6 +59,22 @@ AUDITS = {
     # LOCF resample: grid explode (Generate) + the as-of union/window —
     # a composition, still join-free on the temporal axis
     "q63_locf_resample": ["Generate", "Window", "Union"],
+    # round-5 additions:
+    # HTML extraction: a single narrow projection stage — the regexp
+    # chain must run inside the scan stage with NO shuffle at all
+    "q64_html_extract": ["Project"],
+    # BPE budget: Python only on the DISTINCT vocab (MapInPandas after
+    # the distinct's aggregate), corpus-side work stays JVM
+    "q65_bpe_tokens": ["MapInPandas", "HashAggregate"],
+    # balanced sharding: ONE range repartition for the total order —
+    # and no Window (the global rank comes from per-partition offsets,
+    # never a single-partition row_number)
+    "q66_shuffle_shard": ["rangepartitioning", "MapInPandas"],
+    # incremental dedup: every candidate stage is a band/bucket
+    # EQUI-join (probe vs index, batch self-join)
+    "q67_incremental_dedup": ["Join"],
+    # composed corpus pipeline: aggregates + equi-joins end-to-end
+    "q68_corpus_pipeline": ["HashAggregate", "Join"],
 }
 
 # plan fragments that must NOT appear (scale-killers)
@@ -70,6 +86,11 @@ FORBID = {
     "q59_prefix_filter_jaccard": ["CartesianProduct", "NestedLoop"],
     "q61_bm25_topk": ["CartesianProduct", "NestedLoop"],
     "q63_locf_resample": ["CartesianProduct", "NestedLoop"],
+    "q64_html_extract": ["CartesianProduct", "Exchange", "Window", "Join"],
+    "q65_bpe_tokens": ["CartesianProduct", "NestedLoop", "Window"],
+    "q66_shuffle_shard": ["CartesianProduct", "NestedLoop", "Window"],
+    "q67_incremental_dedup": ["CartesianProduct", "NestedLoop"],
+    "q68_corpus_pipeline": ["CartesianProduct", "NestedLoop"],
 }
 FORBID_ALL = ["CartesianProduct"]
 
