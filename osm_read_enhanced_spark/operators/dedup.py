@@ -807,7 +807,7 @@ def read_minhash_index(spark, table_path: str) -> DataFrame:
 
 def incremental_dedup(
     new_docs: DataFrame,
-    index: DataFrame,
+    index: DataFrame | None,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -816,6 +816,10 @@ def incremental_dedup(
     shingle_k: int = 5,
 ) -> DataFrame:
     """Dedup TODAY'S batch against a committed corpus index + itself.
+
+    ``index`` = (id, sig, band, bucket) rows from minhash_index /
+    read_minhash_index; ``None`` = first run (no committed corpus —
+    the probe join is skipped, only the within-batch rule applies).
 
     → (id, dup_of_corpus, dup_in_batch, keep) for every new doc:
       - dup_of_corpus: verified est ≥ τ match with any indexed doc
@@ -836,25 +840,33 @@ def incremental_dedup(
         F.col(id_col), F.col("sig"), F.posexplode("band_hashes").alias("band", "bucket")
     )
     est = _sig_match_frac(F.col("sig_n"), F.col("sig_o"), n_hashes)
-    dup_corpus = (
-        b_new.alias("n")
-        .join(
-            index.alias("o"),
-            (F.col("n.band") == F.col("o.band"))
-            & (F.col("n.bucket") == F.col("o.bucket")),
+    if index is None:
+        # first run — no committed corpus; skip the probe join entirely
+        dup_corpus = (
+            new_docs.select(F.col(id_col).alias("nid"))
+            .limit(0)
+            .withColumn("_dc", F.lit(True))
         )
-        .select(
-            F.col(f"n.{id_col}").alias("nid"),
-            F.col("n.sig").alias("sig_n"),
-            F.col(f"o.{id_col}").alias("oid"),
-            F.col("o.sig").alias("sig_o"),
+    else:
+        dup_corpus = (
+            b_new.alias("n")
+            .join(
+                index.alias("o"),
+                (F.col("n.band") == F.col("o.band"))
+                & (F.col("n.bucket") == F.col("o.bucket")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("nid"),
+                F.col("n.sig").alias("sig_n"),
+                F.col(f"o.{id_col}").alias("oid"),
+                F.col("o.sig").alias("sig_o"),
+            )
+            .dropDuplicates(["nid", "oid"])
+            .filter(est >= threshold)
+            .select("nid")
+            .distinct()
+            .withColumn("_dc", F.lit(True))
         )
-        .dropDuplicates(["nid", "oid"])
-        .filter(est >= threshold)
-        .select("nid")
-        .distinct()
-        .withColumn("_dc", F.lit(True))
-    )
     dup_batch = (
         b_new.alias("a")
         .join(

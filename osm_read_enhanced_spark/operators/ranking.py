@@ -102,9 +102,13 @@ def bm25_topk(
         .groupBy(id_col)
         .agg((F.floor(F.sum("_c") * 10000 + 0.5) / 10000).alias("score"))
     )
+    # distributed top-k (TakeOrderedAndProject: per-partition heads +
+    # driver merge of k rows) instead of a single-partition global
+    # window over every matching doc — the scale-correct shape when
+    # query terms are common. Ranks are then numbered over k rows only.
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select(id_col, "rank", "score")
     )

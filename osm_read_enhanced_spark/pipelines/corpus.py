@@ -53,7 +53,7 @@ def build_corpus(
     read_minhash_index); None → first run, batch-internal dedup only.
     """
     from ..functions.html import html_stats_cols
-    from ..operators.dedup import incremental_dedup, minhash_index
+    from ..operators.dedup import incremental_dedup
     from ..operators.sharding import shuffle_shard
 
     s = html_stats_cols(
@@ -72,9 +72,8 @@ def build_corpus(
     exact = extracted.join(keep_exact, ["text", id_col], "left_semi")
 
     # near-dup: vs the committed index (if any) + within the batch
-    idx = index if index is not None else minhash_index(exact.limit(0), id_col, "text")
     flags = incremental_dedup(
-        exact, idx, threshold=dedup_threshold, id_col=id_col, text_col="text"
+        exact, index, threshold=dedup_threshold, id_col=id_col, text_col="text"
     )
     survivors = exact.join(
         flags.filter(F.col("kept")).select(id_col), id_col, "left_semi"
