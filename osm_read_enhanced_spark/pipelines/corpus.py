@@ -67,9 +67,13 @@ def build_corpus(
         s["is_boilerplate"].alias("_bp"),
     ).filter(~F.col("_bp")).drop("_bp")
 
-    # exact dedup: min id per identical extracted text (one shuffle)
-    keep_exact = extracted.groupBy("text").agg(F.min(id_col).alias(id_col))
-    exact = extracted.join(keep_exact, ["text", id_col], "left_semi")
+    # exact dedup: min id per identical extracted text — keyed on
+    # md5(text) so the shuffle carries 32-byte keys, not document bodies
+    hashed = extracted.withColumn("_h", F.md5("text"))
+    keep_exact = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    exact = (
+        hashed.join(keep_exact, ["_h", id_col], "left_semi").drop("_h")
+    )
 
     # near-dup: vs the committed index (if any) + within the batch
     flags = incremental_dedup(

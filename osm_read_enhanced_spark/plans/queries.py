@@ -2750,8 +2750,9 @@ def _q68_oracle() -> str:
                   floor(dens * 10000 + 0.5) / 10000 AS link_density
            FROM ex1 WHERE NOT (dens > 0.5 OR length(text) < 20)),
     exact AS (SELECT e.* FROM ex e
-              JOIN (SELECT text, min(doc_id) AS doc_id FROM ex GROUP BY text) m
-              USING (text, doc_id)),
+              JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                    FROM ex GROUP BY md5(text)) m
+              ON md5(e.text) = m.h AND e.doc_id = m.doc_id),
     pairs AS ({_minhash_oracle_sql('exact')}),
     surv AS (SELECT * FROM exact e WHERE NOT EXISTS
                (SELECT 1 FROM pairs p WHERE p.id_b = e.doc_id)),
