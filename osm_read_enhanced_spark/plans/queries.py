@@ -2801,6 +2801,39 @@ def q68(spark, sf_dir):
     )
 
 
+def _q69_oracle() -> str:
+    # dup-of-earlier semantics fully live: the q29 MinHash pipeline
+    # nested as pairs, best earlier match = max est then smallest id.
+    # est = k/64 terminates exactly at 6 decimals (64 = 2^6), so
+    # round() here and the engine's floor(x·1e6+0.5)/1e6 agree.
+    return f"""
+    WITH pairs AS ({_minhash_oracle_sql()}),
+    best AS (
+      SELECT id_b AS doc_id, id_a AS dup_of, est_jaccard AS est,
+             row_number() OVER (PARTITION BY id_b
+                                ORDER BY est_jaccard DESC, id_a ASC) AS rk
+      FROM pairs)
+    SELECT d.doc_id, b.doc_id IS NOT NULL AS is_dup, b.dup_of, b.est
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    """
+
+
+@q_ext(
+    "q69_text_neardup_stream_flags",
+    _q69_oracle(),
+    "streaming-order text near-dup flags (round 5: batch twin of the "
+    "stateful per-bucket MinHash stream operator — dup-of-any-earlier "
+    "at est >= 0.5, best match by est then id; LIVE SQL oracle via the "
+    "nested MinHash pipeline)",
+)
+def q69(spark, sf_dir):
+    from ..streaming.text import dup_flags_from_band_rows, text_neardup_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_flags_from_band_rows(text_neardup_batch(docs, threshold=0.5))
+
+
 # ------------------------------------------------- apply pinned oracles
 # Must run AFTER every @q/@q_ext registration above (it was mid-file
 # until round 4, which silently left later-registered pinned queries

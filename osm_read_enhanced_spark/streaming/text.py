@@ -1,0 +1,187 @@
+"""Streaming MinHash text dedup: flag each arriving document as a
+near-duplicate of any EARLIER arrival (est ≥ τ) — the continuous
+counterpart of the commit-point operator
+``operators.dedup.incremental_dedup`` (which runs batch-vs-committed-
+index) and the text sibling of ``streaming.images.image_neardup_stream``
+(same machinery: SURVEY §2.10/§2.11 stateful surface).
+
+Shape: a stateless mapInPandas stage computes MinHash signatures +
+band hashes (the batch kernels from functions.text — streaming-safe,
+per-row pure), explodes to (doc, band, bucket) rows, then ONE
+``applyInPandasWithState`` keyed by (band, bucket) holds the
+signatures seen in that bucket and emits one row per (doc, band) with
+the best earlier match (highest est, ties → smallest id). A document
+is a duplicate iff ANY band row matched — the downstream
+``dup_flags_from_band_rows`` aggregation, kept out of the stateful op
+so the streaming query stays single-stateful-stage.
+
+Consistency contract (pinned by test): over a single batch with no
+prior state, is_dup equals ``incremental_dedup(…, index=None)``'s
+dup_in_batch — both mean "shares a band bucket with a SMALLER-id doc
+at est ≥ τ".
+
+State is the per-bucket signature list (8·n_hashes bytes per doc per
+band). ``max_state_per_bucket`` switches to bounded sliding-recency
+semantics (keep the N most recent docs per bucket — flat state
+forever), the knob that makes an unbounded stream sustainable; the
+committed-index operator is the alternative when exact-vs-all-history
+must survive restarts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BAND_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("matched_id", T.LongType(), True),
+        T.StructField("est", T.DoubleType(), True),
+    ]
+)
+# flattened signatures (stride n_hashes) — keeps the state row flat
+BAND_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ids", T.ArrayType(T.LongType()), False),
+        T.StructField("sigs", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+
+def doc_band_rows(
+    docs: DataFrame, n_hashes: int = 64, bands: int = 16, shingle_k: int = 5
+) -> DataFrame:
+    """(doc_id, text) → one row per LSH band: (doc_id, sig, band,
+    bucket) — identical signatures/banding to the batch operators."""
+    from ..operators.dedup import _signature_df
+
+    sigs = _signature_df(docs, "doc_id", "text", n_hashes, bands, shingle_k)
+    return sigs.select(
+        "doc_id", "sig", F.posexplode("band_hashes").alias("band", "bucket")
+    )
+
+
+def _bucket_group_scan(
+    pdf, seen_ids, seen_sigs_flat, n_hashes, threshold, max_state=None
+):
+    """Per-(band,bucket) scan: rows in doc_id order probe the earlier
+    signatures (est = matching fraction), then join them. Mutates and
+    returns the seen lists; returns this group's output frame."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id")
+    out_match, out_est = [], []
+    for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+        sig = np.asarray(sig, dtype=np.int64)
+        matched, est_v = None, None
+        if seen_ids:
+            M = np.asarray(seen_sigs_flat, dtype=np.int64).reshape(
+                len(seen_ids), n_hashes
+            )
+            est = (M == sig).mean(axis=1)
+            ok = np.flatnonzero(est >= threshold)
+            if len(ok):
+                ids_arr = np.asarray(seen_ids, dtype=np.int64)
+                j = ok[np.lexsort((ids_arr[ok], -est[ok]))[0]]
+                matched = int(seen_ids[j])
+                est_v = float(np.floor(est[j] * 1e6 + 0.5) / 1e6)
+        out_match.append(matched)
+        out_est.append(est_v)
+        seen_ids.append(int(doc_id))
+        seen_sigs_flat.extend(int(x) for x in sig)
+        if max_state is not None and len(seen_ids) > max_state:
+            drop = len(seen_ids) - max_state
+            del seen_ids[:drop]
+            del seen_sigs_flat[: drop * n_hashes]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "band": pdf["band"].to_numpy(),
+            "matched_id": pd.array(out_match, dtype="Int64"),
+            "est": out_est,
+        }
+    )
+
+
+def text_neardup_stream(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    max_state_per_bucket: int | None = None,
+) -> DataFrame:
+    """Streaming (doc_id, text) → per-band match rows (doc_id, band,
+    matched_id, est) against all earlier arrivals. "Earlier" = previous
+    micro-batches, plus doc_id order within a batch (deterministic —
+    arrival order inside a batch is not stable)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def check(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ids, sigs = state.get
+            ids, sigs = list(ids), list(sigs)
+        else:
+            ids, sigs = [], []
+        pdf = pd.concat([p[["doc_id", "sig", "band"]] for p in pdf_iter])
+        out = _bucket_group_scan(
+            pdf, ids, sigs, n_hashes, threshold, max_state_per_bucket
+        )
+        state.update((ids, sigs))
+        yield out
+
+    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k)
+    return bands_df.groupBy("band", "bucket").applyInPandasWithState(
+        check,
+        BAND_OUT_SCHEMA,
+        BAND_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def text_neardup_batch(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Batch twin: one ``applyInPandas`` per (band, bucket) group with
+    empty initial state — exactly a single-micro-batch streaming run
+    (applyInPandasWithState is streaming-only)."""
+
+    def scan(pdf):
+        return _bucket_group_scan(pdf, [], [], n_hashes, threshold)
+
+    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k)
+    return bands_df.groupBy("band", "bucket").applyInPandas(scan, BAND_OUT_SCHEMA)
+
+
+def dup_flags_from_band_rows(band_rows: DataFrame) -> DataFrame:
+    """Band rows → one row per doc: (doc_id, is_dup, dup_of, est).
+    ``dup_of`` is the match with the highest est (ties: smallest id)."""
+    best = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("matched_id").isNotNull(),
+                F.struct((-F.col("est")).alias("neg_est"), F.col("matched_id")),
+            )
+        )
+    )
+    return (
+        band_rows.groupBy("doc_id")
+        .agg(best.alias("_m"))
+        .select(
+            "doc_id",
+            (F.size("_m") > 0).alias("is_dup"),
+            F.try_element_at("_m", F.lit(1))["matched_id"].alias("dup_of"),
+            (-F.try_element_at("_m", F.lit(1))["neg_est"]).alias("est"),
+        )
+    )
