@@ -20,8 +20,8 @@ prior state, is_dup equals ``incremental_dedup(…, index=None)``'s
 dup_in_batch — both mean "shares a band bucket with a SMALLER-id doc
 at est ≥ τ".
 
-State is the per-bucket signature list (8·n_hashes bytes per doc per
-band). ``max_state_per_bucket`` switches to bounded sliding-recency
+State is the per-bucket signature list (4·n_hashes bytes per doc per
+band — int32, lossless for mod-2^31−1 MinHash values). ``max_state_per_bucket`` switches to bounded sliding-recency
 semantics (keep the N most recent docs per bucket — flat state
 forever), the knob that makes an unbounded stream sustainable; the
 committed-index operator is the alternative when exact-vs-all-history
@@ -42,11 +42,13 @@ BAND_OUT_SCHEMA = T.StructType(
         T.StructField("est", T.DoubleType(), True),
     ]
 )
-# flattened signatures (stride n_hashes) — keeps the state row flat
+# flattened signatures (stride n_hashes) — flat state row; sig values
+# are min((a·x+b) mod 2^31−1) so int32 is lossless and HALVES both the
+# state store and the 16×-replicated band-row shuffle
 BAND_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ids", T.ArrayType(T.LongType()), False),
-        T.StructField("sigs", T.ArrayType(T.LongType()), False),
+        T.StructField("sigs", T.ArrayType(T.IntegerType()), False),
     ]
 )
 
@@ -60,7 +62,11 @@ def doc_band_rows(
 
     sigs = _signature_df(docs, "doc_id", "text", n_hashes, bands, shingle_k)
     return sigs.select(
-        "doc_id", "sig", F.posexplode("band_hashes").alias("band", "bucket")
+        "doc_id",
+        # int32 is lossless for MinHash values (mod 2^31−1) and halves
+        # the per-band replicated shuffle + the state rows
+        F.col("sig").cast("array<int>").alias("sig"),
+        F.posexplode("band_hashes").alias("band", "bucket"),
     )
 
 
@@ -76,10 +82,10 @@ def _bucket_group_scan(
     pdf = pdf.sort_values("doc_id")
     out_match, out_est = [], []
     for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
-        sig = np.asarray(sig, dtype=np.int64)
+        sig = np.asarray(sig, dtype=np.int32)
         matched, est_v = None, None
         if seen_ids:
-            M = np.asarray(seen_sigs_flat, dtype=np.int64).reshape(
+            M = np.asarray(seen_sigs_flat, dtype=np.int32).reshape(
                 len(seen_ids), n_hashes
             )
             est = (M == sig).mean(axis=1)
@@ -114,16 +120,33 @@ def text_neardup_stream(
     bands: int = 16,
     shingle_k: int = 5,
     max_state_per_bucket: int | None = None,
+    bucket_ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Streaming (doc_id, text) → per-band match rows (doc_id, band,
     matched_id, est) against all earlier arrivals. "Earlier" = previous
     micro-batches, plus doc_id order within a batch (deterministic —
-    arrival order inside a batch is not stable)."""
+    arrival order inside a batch is not stable).
+
+    State bounding needs BOTH knobs on an unbounded text stream, and
+    they bound different axes (measured in the round-5 soak):
+    ``max_state_per_bucket`` caps docs per bucket, but unlike the image
+    op (whose band keys live in a ~2^10 space) MinHash band buckets are
+    63-bit — every new distinct text creates ``bands`` fresh buckets,
+    so TOTAL state still grows with distinct-text cardinality.
+    ``bucket_ttl_minutes`` evicts buckets idle for the given
+    processing-time window, making total state O(hot working set) —
+    dup-of-something-recent semantics. The committed-index operator
+    (incremental_dedup) is the exact-vs-all-history alternative."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ttl_ms = None if bucket_ttl_minutes is None else int(bucket_ttl_minutes * 60_000)
 
     def check(key, pdf_iter, state: GroupState):
         import pandas as pd
 
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             ids, sigs = state.get
             ids, sigs = list(ids), list(sigs)
@@ -134,6 +157,8 @@ def text_neardup_stream(
             pdf, ids, sigs, n_hashes, threshold, max_state_per_bucket
         )
         state.update((ids, sigs))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         yield out
 
     bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k)
@@ -142,7 +167,9 @@ def text_neardup_stream(
         BAND_OUT_SCHEMA,
         BAND_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -113,6 +113,48 @@ def run_image_soak(spark, seconds: float, rows_per_sec: int, max_state):
     return _summarize(f"image_neardup_stream[{mode}]", progresses)
 
 
+def run_text_soak(spark, seconds: float, rows_per_sec: int, max_state):
+    """Round 5: the text twin — MinHash per-bucket state under a
+    continuous document stream. Texts are deterministic 12-word strings
+    derived from value; every 8 consecutive ids share one text, so the
+    stream carries a steady 7/8 dup ratio."""
+    from osm_read_enhanced_spark.streaming.text import text_neardup_stream
+
+    words = F.array(
+        *[F.hex(F.xxhash64((F.col("value") / 8).cast("long"), F.lit(i))) for i in range(12)]
+    )
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_sec)
+        .load()
+        .select(
+            F.col("value").alias("doc_id"),
+            F.array_join(words, " ").alias("text"),
+        )
+    )
+    ttl = float(os.environ.get("SPARK_GRAFT_SOAK_TEXT_TTL_MIN", "1"))
+    out = text_neardup_stream(
+        src,
+        threshold=0.5,
+        max_state_per_bucket=max_state,
+        bucket_ttl_minutes=ttl if max_state else None,
+    )
+    ckpt = tempfile.mkdtemp(prefix="soak-txt-")
+    q = (
+        out.writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        progresses = _poll_progress(q, seconds)
+    finally:
+        q.stop()
+    mode = "bounded" if max_state else "exact"
+    return _summarize(f"text_neardup_stream[{mode}]", progresses)
+
+
 def run_session_soak(spark, seconds: float, rows_per_sec: int, n_users: int = 20000):
     from osm_read_enhanced_spark.streaming.events import sessionize_stateful
 
@@ -162,11 +204,15 @@ def main():
         },
     )
     max_state = int(os.environ.get("SPARK_GRAFT_SOAK_MAX_STATE", "128"))
-    results = [
-        run_image_soak(spark, seconds, rps, max_state=max_state),
-        run_image_soak(spark, seconds, rps, max_state=None),
-        run_session_soak(spark, seconds, rps),
-    ]
+    only = os.environ.get("SPARK_GRAFT_SOAK_ONLY", "")
+    runs = {
+        "image": lambda: run_image_soak(spark, seconds, rps, max_state=max_state),
+        "image_exact": lambda: run_image_soak(spark, seconds, rps, max_state=None),
+        "text": lambda: run_text_soak(spark, seconds, max(rps // 5, 200), max_state=max_state),
+        "session": lambda: run_session_soak(spark, seconds, rps),
+    }
+    names = only.split(",") if only else list(runs)
+    results = [runs[n]() for n in names]
     for r in results:
         print(json.dumps(r))
     spark.stop()
