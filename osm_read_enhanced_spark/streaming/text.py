@@ -54,20 +54,34 @@ BAND_STATE_SCHEMA = T.StructType(
 
 
 def doc_band_rows(
-    docs: DataFrame, n_hashes: int = 64, bands: int = 16, shingle_k: int = 5
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """(doc_id, text) → one row per LSH band: (doc_id, sig, band,
-    bucket) — identical signatures/banding to the batch operators."""
+    bucket) — identical signatures/banding to the batch operators.
+
+    ``bucket_bits`` folds the 63-bit band hash into a 2^bits key space
+    (``bucket mod 2^bits``) — the image op's saturating-key-space
+    property for text: total group/state cardinality is then bounded by
+    bands·2^bits regardless of distinct-text count. Folding can only
+    ADD candidates (verified exactly by est ≥ τ afterwards), so flags
+    with folding are a recall-⊇ superset of the exact-bucket flags."""
     from ..operators.dedup import _signature_df
 
     sigs = _signature_df(docs, "doc_id", "text", n_hashes, bands, shingle_k)
+    bucket = F.col("bucket")
+    if bucket_bits is not None:
+        bucket = F.pmod(F.col("bucket"), F.lit(1 << bucket_bits))
     return sigs.select(
         "doc_id",
         # int32 is lossless for MinHash values (mod 2^31−1) and halves
         # the per-band replicated shuffle + the state rows
         F.col("sig").cast("array<int>").alias("sig"),
         F.posexplode("band_hashes").alias("band", "bucket"),
-    )
+    ).withColumn("bucket", bucket)
 
 
 def _bucket_group_scan(
@@ -121,6 +135,7 @@ def text_neardup_stream(
     shingle_k: int = 5,
     max_state_per_bucket: int | None = None,
     bucket_ttl_minutes: float | None = None,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Streaming (doc_id, text) → per-band match rows (doc_id, band,
     matched_id, est) against all earlier arrivals. "Earlier" = previous
@@ -135,8 +150,12 @@ def text_neardup_stream(
     so TOTAL state still grows with distinct-text cardinality.
     ``bucket_ttl_minutes`` evicts buckets idle for the given
     processing-time window, making total state O(hot working set) —
-    dup-of-something-recent semantics. The committed-index operator
-    (incremental_dedup) is the exact-vs-all-history alternative."""
+    dup-of-something-recent semantics. ``bucket_bits`` instead folds
+    buckets into a 2^bits key space so group/state-key cardinality
+    SATURATES at bands·2^bits (flags become a recall-⊇ superset —
+    extra candidates are still est-verified). The committed-index
+    operator (incremental_dedup) is the exact-vs-all-history
+    alternative."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     ttl_ms = None if bucket_ttl_minutes is None else int(bucket_ttl_minutes * 60_000)
@@ -161,7 +180,7 @@ def text_neardup_stream(
             state.setTimeoutDuration(ttl_ms)
         yield out
 
-    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k)
+    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k, bucket_bits)
     return bands_df.groupBy("band", "bucket").applyInPandasWithState(
         check,
         BAND_OUT_SCHEMA,
@@ -179,6 +198,7 @@ def text_neardup_batch(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 5,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Batch twin: one ``applyInPandas`` per (band, bucket) group with
     empty initial state — exactly a single-micro-batch streaming run
@@ -187,7 +207,7 @@ def text_neardup_batch(
     def scan(pdf):
         return _bucket_group_scan(pdf, [], [], n_hashes, threshold)
 
-    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k)
+    bands_df = doc_band_rows(docs, n_hashes, bands, shingle_k, bucket_bits)
     return bands_df.groupBy("band", "bucket").applyInPandas(scan, BAND_OUT_SCHEMA)
 
 

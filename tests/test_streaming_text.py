@@ -117,3 +117,59 @@ def test_bounded_state_evicts_oldest(spark, tmp_path):
     assert got[1] == (False, None)
     assert got[2] == (True, 1)
     assert got[3] == (True, 2)  # A evicted — proof the bound is enforced
+
+
+def test_bucket_fold_superset_and_stream_batch_parity(spark, tmp_path):
+    """bucket_bits folds buckets into a bounded key space; flags must be
+    a recall-superset of exact-bucket flags and stream must still equal
+    the batch twin under the same fold."""
+    docs = spark.createDataFrame(DOCS, SCHEMA)
+    exact = {
+        r.doc_id: r.is_dup
+        for r in dup_flags_from_band_rows(
+            text_neardup_batch(docs, threshold=0.5)
+        ).collect()
+    }
+    folded = {
+        r.doc_id: r.is_dup
+        for r in dup_flags_from_band_rows(
+            text_neardup_batch(docs, threshold=0.5, bucket_bits=6)
+        ).collect()
+    }
+    assert set(folded) == set(exact)
+    for d, dup in exact.items():
+        if dup:
+            assert folded[d], f"fold lost a confirmed dup for doc {d}"
+
+    # stream with the same fold across micro-batches == folded batch
+    d = tmp_path / "txt_stream_f"
+    d.mkdir()
+    now = time.time()
+    for i, chunk in enumerate([DOCS[:4], DOCS[4:]]):
+        tmp = tmp_path / f"wf{i}"
+        spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            dest = d / f"batch-{i}.parquet"
+            shutil.copy(f, dest)
+            os.utime(dest, (now - 80 + i * 30, now - 80 + i * 30))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        text_neardup_stream(stream, threshold=0.5, bucket_bits=6)
+        .writeStream.format("memory")
+        .queryName("txt_neardup_folded")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sflags = {
+        r.doc_id: r.is_dup
+        for r in dup_flags_from_band_rows(
+            spark.sql("SELECT * FROM txt_neardup_folded")
+        ).collect()
+    }
+    assert sflags == folded
