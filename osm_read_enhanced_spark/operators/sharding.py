@@ -27,10 +27,8 @@ breadth for the 100-TB pipeline story.
 
 from __future__ import annotations
 
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def shard_key_col(id_col, seed: int):
@@ -89,55 +87,60 @@ def shuffle_shard_balanced(
     differ by at most 1 and the within-shard order is the seeded
     shuffle order training loaders consume.
 
-    Adds (shard_key, shard_rank, shard). Requires one extra pass to
-    count rows per range partition (a list of longs on the driver —
-    O(partitions), never O(rows))."""
+    Adds (shard_key, shard_rank, shard). Round-6 shape (guide §2.4/§2.5):
+    the global order is decomposed by a DETERMINISTIC bucket — the top
+    bits of the (uniform, md5-derived) shard key — instead of sampled
+    range partitioning. One cheap pass counts rows per bucket (an
+    O(buckets) driver list, never O(rows)); the driver turns counts
+    into cumulative offsets; the rank pass hash-partitions by bucket
+    and numbers rows with a per-bucket row_number window (the exchange
+    it needs IS the repartition — no extra shuffle) plus the bucket's
+    offset from a broadcast join. Because the bucket is a monotonic
+    function of shard_key, (bucket, shard_key, id) order == global
+    (shard_key, id) order. vs the round-5 range-sampling shape this
+    removes: the RangePartitioner sampling job, the persist() that
+    pinned its sampled bounds (r5 ADVICE: never released), and the
+    Python mapInPandas rank stage — everything is JVM now, and every
+    pass is deterministic under task retry."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    spark = df.sparkSession
     keyed = df.withColumn("shard_key", shard_key_col(id_col, seed))
-    nparts = num_partitions or keyed.sparkSession.sparkContext.defaultParallelism
-    ordered = (
-        keyed.repartitionByRange(nparts, F.col("shard_key"), F.col(id_col))
-        .sortWithinPartitions("shard_key", id_col)
-        .withColumn("_pid", F.spark_partition_id())
+    nparts = num_partitions or spark.sparkContext.defaultParallelism
+    # ~32 buckets per partition spreads the bucket hash evenly
+    # (guide §2.5: 20-100x more distinct key values than partitions);
+    # shard_key is uniform in [0, 2^60), so bucket = top bits
+    n_buckets = 1 << min(30, max(1, (nparts * 32 - 1).bit_length()))
+    shift = 60 - n_buckets.bit_length() + 1  # shard_key >> shift ∈ [0, n_buckets)
+    bkt = F.shiftright("shard_key", shift)
+    sizes = (
+        keyed.select(bkt.alias("_bkt"))
+        .groupBy("_bkt")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
     )
-    # pin the partitioning so the count pass and the rank pass see the
-    # SAME range bounds (RangePartitioner samples its input)
-    ordered = ordered.persist()
-    sizes = {
-        r["_pid"]: r["cnt"]
-        for r in ordered.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
-    }
-    offsets = {}
-    acc = 0
-    for pid in sorted(sizes):
-        offsets[pid] = acc
-        acc += sizes[pid]
-    out_schema = T.StructType(
-        list(df.schema.fields)
-        + [
-            T.StructField("shard_key", T.LongType(), False),
-            T.StructField("shard_rank", T.LongType(), False),
-            T.StructField("shard", T.IntegerType(), False),
-        ]
+    offsets, acc = [], 0
+    for r in sorted(sizes, key=lambda r: r["_bkt"]):
+        offsets.append((r["_bkt"], acc))
+        acc += r["cnt"]
+    if not offsets:  # empty input: keep the output schema
+        offsets = [(0, 0)]
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_bkt long, _off long")
     )
-    in_cols = [f.name for f in df.schema.fields]
-
-    def add_rank(it):
-        local = None
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            if local is None:
-                local = offsets[int(pdf["_pid"].iloc[0])]
-            ranks = pd.RangeIndex(local, local + len(pdf)).to_numpy()
-            local += len(pdf)
-            out = pdf[in_cols + ["shard_key"]].copy()
-            out["shard_rank"] = ranks
-            out["shard"] = (ranks % n_shards).astype("int32")
-            yield out
-
-    return ordered.mapInPandas(add_rank, out_schema)
+    w = Window.partitionBy("_bkt").orderBy("shard_key", id_col)
+    rank = (F.col("_off") + F.row_number().over(w) - 1).alias("shard_rank")
+    return (
+        keyed.withColumn("_bkt", bkt)
+        .repartition(nparts, "_bkt")
+        .join(off, "_bkt")
+        .select(
+            *[F.col(f.name) for f in df.schema.fields],
+            "shard_key",
+            rank,
+        )
+        .withColumn("shard", F.pmod(F.col("shard_rank"), F.lit(n_shards)).cast("int"))
+    )
 
 
 def write_shards(

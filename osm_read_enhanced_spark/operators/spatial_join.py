@@ -94,16 +94,23 @@ def pip_join_broadcast(
             T.StructField("polygon_id", T.LongType(), False),
         ]
     )
+    in_cols = [point_id_col, *keep_cols, lat_col, lon_col]
+    i_lat, i_lon = in_cols.index(lat_col), in_cols.index(lon_col)
+    out_idx = list(range(len(in_cols) - 2))  # id + keep_cols positions
 
     def probe(it):
+        import pyarrow as pa
+
         def build():
             ids, rings, boxes = bc.value
             return ids, rings, STRtree(boxes)
 
         ids, rings, tree = _tree_cache_get(token, build)
-        for pdf in it:
-            xs = pdf[lon_col].to_numpy(dtype=np.float64)
-            ys = pdf[lat_col].to_numpy(dtype=np.float64)
+        for rb in it:
+            xs = np.asarray(rb.column(i_lon).to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+            ys = np.asarray(rb.column(i_lat).to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
             pi, bi = tree.query_points(xs, ys)
             if len(pi) == 0:
                 continue
@@ -121,20 +128,28 @@ def pip_join_broadcast(
                     keep_p.append(sel[m])
                     keep_poly.append(np.full(int(m.sum()), ids[poly], dtype=np.int64))
             if keep_p:
-                kp = np.concatenate(keep_p)
-                data = {point_id_col: pdf[point_id_col].to_numpy()[kp]}
-                for c in keep_cols:
-                    data[c] = pdf[c].to_numpy()[kp]
-                data["polygon_id"] = np.concatenate(keep_poly)
-                yield pd.DataFrame(data)
+                kp = pa.array(np.concatenate(keep_p))
+                arrays = [rb.column(j).take(kp) for j in out_idx]
+                arrays.append(pa.array(np.concatenate(keep_poly)))
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=[*in_cols[:-2], "polygon_id"]
+                )
 
-    # repartition: parquet splits at small SF give 1-2 input partitions,
-    # which would serialize the probe on one Python worker
-    return (
-        points.select(point_id_col, *keep_cols, lat_col, lon_col)
-        .repartition(n_parts)
-        .mapInPandas(probe, schema)
-    )
+    # distribute the probe over the Python-stage width WITHOUT a
+    # round-robin shuffle when the scan is already wide enough:
+    # coalesce is narrow (merges scan splits in-stage); only a
+    # too-narrow input (1-2 parquet splits at small SF) pays the
+    # repartition exchange. (guide §2.4: remove shuffles outright)
+    proj = points.select(*in_cols)
+    n_in = proj.rdd.getNumPartitions()
+    if n_in < n_parts:
+        proj = proj.repartition(n_parts)
+    elif n_in > n_parts:
+        proj = proj.coalesce(n_parts)
+    # Arrow-native probe: no pandas materialization on either side —
+    # inputs are read as numpy views, outputs are pyarrow takes over
+    # the input batch (guide §4.2)
+    return proj.mapInArrow(probe, schema)
 
 
 def pip_join_cells(

@@ -68,8 +68,17 @@ def build_corpus(
     ).filter(~F.col("_bp")).drop("_bp")
 
     # exact dedup: min id per identical extracted text — keyed on
-    # md5(text) so the shuffle carries 32-byte keys, not document bodies
-    hashed = extracted.withColumn("_h", F.md5("text"))
+    # md5(text) so the shuffle carries 32-byte keys, not document bodies.
+    # ``hashed`` (the 6-regexp extraction chain + md5) feeds BOTH sides
+    # of the semi join and, through ``exact``, the signature stage and
+    # the survivor join — persist it so the regex chain runs once per
+    # pipeline instead of ~6x (VERDICT r5 #4). Cache lifetime contract:
+    # the cache belongs to this pipeline DataFrame; a caller running
+    # many build_corpus batches in one session should release it after
+    # the batch's terminal action (spark.catalog.clearCache() or
+    # rebuilding per batch) — the iceberg-lite export path is one
+    # action, so the cache is read exactly as many times as needed.
+    hashed = extracted.withColumn("_h", F.md5("text")).persist()
     keep_exact = hashed.groupBy("_h").agg(F.min(id_col).alias(id_col))
     exact = (
         hashed.join(keep_exact, ["_h", id_col], "left_semi").drop("_h")

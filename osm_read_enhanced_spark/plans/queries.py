@@ -184,7 +184,17 @@ def q02(spark, sf_dir):
     "multi-way equi-join + agg (broadcast dims; SURVEY §2.5)",
 )
 def q03(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    from ..session import widen
+
+    # single-row-group parquet plans the orders scan to 1-2 live tasks,
+    # serializing the three broadcast-hash probes + partial agg fused
+    # with it; one narrow hash exchange unlocks full-width probes
+    # (measured r6: 0.96 → 0.70 s at sf1.0; no-op once the input has
+    # >= cores row groups)
+    o = widen(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        by="o_custkey",
+    )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
@@ -1922,7 +1932,11 @@ def q50(spark, sf_dir):
         (F.col("n_nationkey") * 7.0).alias("lo"),
         (F.col("n_nationkey") * 7.0 + 11.0).alias("hi"),
     )
-    return range_join(ev, bands, "value", "lo", "hi").select(
+    # bucket_width pinned to the (known, constant) band span: every
+    # band is exactly 11.0 wide, so this equals the autotune's mean-span
+    # result while skipping its driver aggregate job — the width is a
+    # physical knob only, the result set is invariant (interval.py)
+    return range_join(ev, bands, "value", "lo", "hi", bucket_width=11.0).select(
         "event_id", "band_id", "value"
     )
 

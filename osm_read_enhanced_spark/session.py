@@ -54,6 +54,29 @@ def get_spark(
     return spark
 
 
+def widen(df, by: str | None = None, partitions: int | None = None):
+    """Conditionally repartition ``df`` up to the session's parallelism.
+
+    Single-row-group parquet files (and generally tiny inputs) plan to
+    1-6 non-empty scan partitions no matter how the byte range is
+    split, which serializes any expensive per-row compute FUSED with
+    the scan (regex tokenize, window sorts, probe UDFs). When the
+    current plan already yields >= target partitions this is a no-op —
+    at real scale (many row groups) the exchange never happens, so the
+    knob is scale-adaptive rather than a local-mode constant.
+
+    ``by``: hash-distribute on that column (deterministic under task
+    retry, and skips the local sort round-robin repartition pays —
+    SPARK-23207); None = round-robin.
+    """
+    from pyspark.sql import functions as F
+
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(by)) if by else df.repartition(target)
+
+
 def python_parallelism(spark: SparkSession) -> int:
     """Partition count for Python-heavy (pandas UDF / mapInPandas)
     stages: task-slot count capped at 16.

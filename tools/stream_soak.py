@@ -211,7 +211,13 @@ def main():
         "text": lambda: run_text_soak(spark, seconds, max(rps // 5, 200), max_state=max_state),
         "session": lambda: run_session_soak(spark, seconds, rps),
     }
-    names = only.split(",") if only else list(runs)
+    names = [t.strip() for t in only.split(",") if t.strip()] if only else list(runs)
+    unknown = set(names) - set(runs)
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SOAK_ONLY: unknown run(s) {sorted(unknown)}; "
+            f"valid: {sorted(runs)}"
+        )
     results = [runs[n]() for n in names]
     for r in results:
         print(json.dumps(r))
