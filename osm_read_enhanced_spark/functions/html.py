@@ -104,6 +104,49 @@ def html_stats_cols(
     }
 
 
+def html_stats_df(
+    df,
+    html: Column,
+    keep_cols: tuple = (),
+    link_density_max: float = 0.5,
+    min_chars: int = 20,
+):
+    """DataFrame-level twin of :func:`html_stats_cols` with STAGED
+    projections: the html value, then the extracted text / anchor text
+    / link count, are materialized once as columns before the derived
+    stats reference them. Catalyst's runtime subexpression elimination
+    already dedupes most of the repeated chain inside one Project, but
+    staging removes the rest (measured r6: q64 full-compute 2.90 →
+    2.49 s at sf1.0). Returns ``keep_cols`` + the same five stat
+    columns, same values as html_stats_cols."""
+    staged = df.select(*keep_cols, html.alias("_html")).select(
+        *keep_cols,
+        F.length("_html").alias("_hlen"),
+        html_to_text_col(F.col("_html")).alias("text"),
+        anchor_text_col(F.col("_html")).alias("_atext"),
+        F.size(
+            F.regexp_extract_all(F.col("_html"), F.lit(_ANCHOR_OPEN_PAT), 0)
+        ).alias("n_links"),
+    )
+    tlen = F.length("text")
+    link_density = F.when(
+        tlen > 0, F.length("_atext") / tlen.cast("double")
+    ).otherwise(F.lit(1.0))
+    text_ratio = F.when(
+        F.col("_hlen") > 0, tlen / F.col("_hlen").cast("double")
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        *keep_cols,
+        "text",
+        "n_links",
+        link_density.alias("link_density"),
+        text_ratio.alias("text_ratio"),
+        ((link_density > link_density_max) | (tlen < min_chars)).alias(
+            "is_boilerplate"
+        ),
+    )
+
+
 # ------------------------------------------------------- DuckDB mirror
 
 

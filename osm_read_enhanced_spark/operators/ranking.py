@@ -69,8 +69,14 @@ def bm25_topk(
     # scan plans to a handful of partitions (single-row-group parquet):
     # one hash exchange of the narrow (id, text) projection, REUSED by
     # both passes (ReuseExchange: identical subplans), unlocks n-wide
-    # regex work; a no-op at real scale
-    docs = widen(docs.select(F.col(id_col), F.col(text_col)), by=id_col)
+    # regex work; a no-op at real scale. min_bytes is low because the
+    # per-byte tokenize cost is high (regex split) — measured r6:
+    # 2.42 → 1.76 s on the 5.7 MB sf1.0 corpus
+    docs = widen(
+        docs.select(F.col(id_col), F.col(text_col)),
+        by=id_col,
+        min_bytes=2 * 1024 * 1024,
+    )
     # dl without tokenizing: tokens of the trimmed text = whitespace
     # runs + 1 (identical to size(split(trimmed, '\s+')) for nonempty
     # trimmed text; the empty case is the when-guard)

@@ -190,10 +190,12 @@ def q03(spark, sf_dir):
     # serializing the three broadcast-hash probes + partial agg fused
     # with it; one narrow hash exchange unlocks full-width probes
     # (measured r6: 0.96 → 0.70 s at sf1.0; no-op once the input has
-    # >= cores row groups)
+    # >= cores row groups, and skipped below 16 MB where the exchange
+    # costs more than the serial probes — +0.36 s at sf0.1)
     o = widen(
         _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
         by="o_custkey",
+        min_bytes=16 * 1024 * 1024,
     )
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
@@ -2614,7 +2616,7 @@ def _q64_oracle() -> str:
     "mirrored VERBATIM live in DuckDB)",
 )
 def q64(spark, sf_dir):
-    from ..functions.html import html_stats_cols
+    from ..functions.html import html_stats_df
 
     docs = _t(spark, sf_dir, "documents")
     html = F.concat(
@@ -2624,15 +2626,18 @@ def q64(spark, sf_dir):
         F.col("text"),
         F.lit(_Q64_END),
     )
-    s = html_stats_cols(html, link_density_max=0.5, min_chars=20)
+    # staged-projection variant (r6): text/anchor-text computed once as
+    # columns instead of re-deriving the regexp chain per stat — same
+    # values, ~14% less full-compute work (functions/html.py)
+    s = html_stats_df(docs, html, keep_cols=("doc_id",))
     r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
-    return docs.select(
+    return s.select(
         "doc_id",
-        s["text"].alias("text_clean"),
-        s["n_links"].cast("long").alias("n_links"),
-        r4(s["link_density"]).alias("link_density"),
-        r4(s["text_ratio"]).alias("text_ratio"),
-        s["is_boilerplate"].alias("is_boilerplate"),
+        F.col("text").alias("text_clean"),
+        F.col("n_links").cast("long").alias("n_links"),
+        r4(F.col("link_density")).alias("link_density"),
+        r4(F.col("text_ratio")).alias("text_ratio"),
+        "is_boilerplate",
     )
 
 

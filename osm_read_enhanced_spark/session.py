@@ -54,25 +54,50 @@ def get_spark(
     return spark
 
 
-def widen(df, by: str | None = None, partitions: int | None = None):
+def widen(
+    df,
+    by: str | None = None,
+    partitions: int | None = None,
+    min_bytes: int = 4 * 1024 * 1024,
+):
     """Conditionally repartition ``df`` up to the session's parallelism.
 
     Single-row-group parquet files (and generally tiny inputs) plan to
     1-6 non-empty scan partitions no matter how the byte range is
     split, which serializes any expensive per-row compute FUSED with
-    the scan (regex tokenize, window sorts, probe UDFs). When the
-    current plan already yields >= target partitions this is a no-op —
-    at real scale (many row groups) the exchange never happens, so the
-    knob is scale-adaptive rather than a local-mode constant.
+    the scan (regex tokenize, window sorts, probe UDFs). The exchange
+    fires only when BOTH hold:
+      - the current plan yields fewer than ``partitions`` partitions
+        (at real scale — many row groups — this alone makes it a
+        no-op, so the knob is scale-adaptive, not a local constant);
+      - the backing files total at least ``min_bytes`` (below that the
+        exchange's fixed cost exceeds the serial compute it
+        parallelizes — measured r6: widening a 2.5 MB orders scan cost
+        +0.36 s at sf0.1 while the same call saved 0.26 s on the
+        25 MB sf1.0 scan). Callers tune min_bytes to the per-byte cost
+        of the downstream compute (regex-heavy → lower).
+    Non-file sources report no input files and are never widened
+    (tiny literal/test inputs don't need it).
 
     ``by``: hash-distribute on that column (deterministic under task
     retry, and skips the local sort round-robin repartition pays —
     SPARK-23207); None = round-robin.
     """
+    import os
+
     from pyspark.sql import functions as F
 
     target = partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
+        return df
+    try:
+        total = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:
+        total = 0
+    if total < min_bytes:
         return df
     return df.repartition(target, F.col(by)) if by else df.repartition(target)
 

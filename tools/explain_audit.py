@@ -53,9 +53,12 @@ AUDITS = {
     # prefix filter: candidates from a token EQUI-join (hash/sort-merge
     # on w) — the whole point is that no all-pairs comparison exists
     "q59_prefix_filter_jaccard": ["Join", "HashAggregate"],
-    # BM25: the tiny query-term df side joins broadcast; scoring is one
-    # hash aggregate; ranking one window
-    "q61_bm25_topk": ["BroadcastHashJoin", "HashAggregate", "Window"],
+    # BM25 (r6 shape): one explode + tf hash aggregate, df as a
+    # count-over-window on tf, the single-row (N, avgdl) stats subtree
+    # attached via broadcast nested-loop (1 row — constant work), and a
+    # TakeOrderedAndProject top-k instead of a global window over all
+    # matching docs
+    "q61_bm25_topk": ["HashAggregate", "Window", "TakeOrderedAndProject"],
     # LOCF resample: grid explode (Generate) + the as-of union/window —
     # a composition, still join-free on the temporal axis
     "q63_locf_resample": ["Generate", "Window", "Union"],
@@ -66,10 +69,13 @@ AUDITS = {
     # BPE budget: Python only on the DISTINCT vocab (MapInPandas after
     # the distinct's aggregate), corpus-side work stays JVM
     "q65_bpe_tokens": ["MapInPandas", "HashAggregate"],
-    # balanced sharding: ONE range repartition for the total order —
-    # and no Window (the global rank comes from per-partition offsets,
-    # never a single-partition row_number)
-    "q66_shuffle_shard": ["rangepartitioning", "MapInPandas"],
+    # balanced sharding (r6 shape): ONE hash repartition on the
+    # deterministic key-prefix bucket; the global rank is the bucket's
+    # broadcast-joined offset + a PER-BUCKET row_number (the Window's
+    # required distribution is exactly the repartition — no extra
+    # exchange, no single-partition window, no range sampling, no
+    # Python stage)
+    "q66_shuffle_shard": ["hashpartitioning", "Window", "BroadcastHashJoin"],
     # incremental dedup: every candidate stage is a band/bucket
     # EQUI-join (probe vs index, batch self-join)
     "q67_incremental_dedup": ["Join"],
@@ -84,11 +90,14 @@ FORBID = {
     "q49_asof_join": ["CartesianProduct", "NestedLoop", "Join"],
     "q50_range_join": ["CartesianProduct", "NestedLoop"],
     "q59_prefix_filter_jaccard": ["CartesianProduct", "NestedLoop"],
-    "q61_bm25_topk": ["CartesianProduct", "NestedLoop"],
+    # (BroadcastNestedLoopJoin IS expected here: the 1-row stats
+    # subtree cross-joins in — constant-size build side, never a
+    # data-dependent nested loop)
+    "q61_bm25_topk": ["CartesianProduct"],
     "q63_locf_resample": ["CartesianProduct", "NestedLoop"],
     "q64_html_extract": ["CartesianProduct", "Exchange", "Window", "Join"],
     "q65_bpe_tokens": ["CartesianProduct", "NestedLoop", "Window"],
-    "q66_shuffle_shard": ["CartesianProduct", "NestedLoop", "Window"],
+    "q66_shuffle_shard": ["CartesianProduct", "NestedLoop", "rangepartitioning", "MapInPandas"],
     "q67_incremental_dedup": ["CartesianProduct", "NestedLoop"],
     "q68_corpus_pipeline": ["CartesianProduct", "NestedLoop"],
 }
