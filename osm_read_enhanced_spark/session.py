@@ -87,9 +87,11 @@ def widen(
 
     from pyspark.sql import functions as F
 
-    target = partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    # size gate FIRST: inputFiles() reads the (already cached) file
+    # index without compiling a physical plan, while getNumPartitions
+    # costs a full plan-to-RDD conversion on the driver — skipping it
+    # keeps the no-op path (tiny inputs, i.e. every small-SF run)
+    # nearly free
     try:
         total = sum(
             os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
@@ -98,6 +100,9 @@ def widen(
     except OSError:
         total = 0
     if total < min_bytes:
+        return df
+    target = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, F.col(by)) if by else df.repartition(target)
 
