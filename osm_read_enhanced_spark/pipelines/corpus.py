@@ -52,20 +52,26 @@ def build_corpus(
     prior runs (operators.dedup.minhash_index /
     read_minhash_index); None → first run, batch-internal dedup only.
     """
-    from ..functions.html import html_stats_cols
+    from ..functions.html import html_stats_df
     from ..operators.dedup import incremental_dedup
     from ..operators.sharding import shuffle_shard
 
-    s = html_stats_cols(
-        F.col(html_col), link_density_max=link_density_max, min_chars=min_chars
+    # staged-projection extraction (r6): text/anchor-text computed once
+    # per row instead of re-derived per stat — same values as
+    # html_stats_cols (functions/html.py)
+    s = html_stats_df(
+        pages,
+        F.col(html_col),
+        keep_cols=(id_col,),
+        link_density_max=link_density_max,
+        min_chars=min_chars,
     )
-    extracted = pages.select(
+    extracted = s.filter(~F.col("is_boilerplate")).select(
         F.col(id_col),
-        s["text"].alias("text"),
-        s["n_links"].cast("long").alias("n_links"),
-        (F.floor(s["link_density"] * 10000 + 0.5) / 10000).alias("link_density"),
-        s["is_boilerplate"].alias("_bp"),
-    ).filter(~F.col("_bp")).drop("_bp")
+        "text",
+        F.col("n_links").cast("long").alias("n_links"),
+        (F.floor(F.col("link_density") * 10000 + 0.5) / 10000).alias("link_density"),
+    )
 
     # exact dedup: min id per identical extracted text — keyed on
     # md5(text) so the shuffle carries 32-byte keys, not document bodies.
