@@ -71,7 +71,20 @@ def _signature_df(
                 }
             )
 
-    return docs.select(id_col, text_col).mapInPandas(compute, schema)
+    # distribute the Python kernel over the Python-stage width when the
+    # input plans to a handful of partitions (single-row-group parquet
+    # serializes it otherwise — measured r6: 3.28 → 1.27 s for the
+    # sf1.0 signature pass). The MinHash kernel is expensive per byte,
+    # so the gate is low; no-op for streaming inputs and at real scale.
+    from ..session import python_parallelism, widen
+
+    src = widen(
+        docs.select(id_col, text_col),
+        by=id_col,
+        partitions=python_parallelism(docs.sparkSession),
+        min_bytes=256 * 1024,
+    )
+    return src.mapInPandas(compute, schema)
 
 
 def minhash_lsh_pairs(
@@ -153,7 +166,16 @@ def simhash_df(
                 {id_col: pdf[id_col].astype("int64"), "simhash": tx.simhash64(pdf[text_col])}
             )
 
-    return docs.select(id_col, text_col).mapInPandas(compute, schema)
+    from ..session import python_parallelism, widen
+
+    # same single-row-group consideration as _signature_df
+    src = widen(
+        docs.select(id_col, text_col),
+        by=id_col,
+        partitions=python_parallelism(docs.sparkSession),
+        min_bytes=256 * 1024,
+    )
+    return src.mapInPandas(compute, schema)
 
 
 def pairs_within_hamming(
@@ -161,55 +183,122 @@ def pairs_within_hamming(
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) over a (id, simhash) DataFrame.
 
-    Candidate generation: band blocking with the band count DERIVED from
-    the radius — ``n_bands = max_hamming + 1`` — so recall is guaranteed
-    by pigeonhole for every pair at hamming ≤ max_hamming (a pair that
-    differs in d ≤ max_hamming bits cannot touch all max_hamming+1
-    bands). Wider radii mean narrower bands → bigger buckets → more
-    candidate pairs: selectivity is the price of guaranteed recall
-    (Manku et al. trade this off with permuted tables; bands are the
-    single-table special case).
-    """
+    Candidate generation: band blocking with the band count DERIVED
+    from the radius — ``n_bands = max_hamming + 1`` — so recall is
+    guaranteed by pigeonhole for every pair at hamming ≤ max_hamming
+    (a pair that differs in d ≤ max_hamming bits cannot dirty all
+    max_hamming+1 bands). Wider radii mean narrower bands → bigger
+    buckets → more candidate pairs: selectivity is the price of
+    guaranteed recall (Manku et al. trade this off with permuted
+    tables; bands are the single-table special case, and at wide radii
+    the blocked candidate set approaches all pairs — at that point the
+    candidate volume is inherent, and only how cheaply each candidate
+    is evaluated is negotiable. A Manku block-PAIR table scheme —
+    C(r+2, 2) tables keyed on two clean blocks — was measured r6 and
+    REJECTED: the sf1.0 documents corpus clusters so tightly that hot
+    block values co-occur and candidates grew 1.88 B → 2.65 B while
+    the 66-table first-match predicate multiplied per-candidate cost;
+    entropy-balanced bit assignment was also measured and did not
+    dent it. The true ≤-10 result at sf1.0 is 42 M pairs — 2% of all
+    pairs — so near-candidate-complete evaluation is the honest
+    floor.)
+
+    Round-6 scale fixes (measured at sf1.0/radius 10: the r5 shape ran
+    >600 s — it materialized every candidate row and shuffled ~1.9 B
+    of them through dropDuplicates; the hash-pair stage below runs the
+    same candidates in 18 s):
+    - the banded self-join runs over the DISTINCT simhash VALUES;
+      surviving hash pairs expand back to doc pairs through two
+      equi-joins, and identical-hash doc pairs (hamming 0) come from
+      a direct self-equi-join on the hash — result-identical by case
+      split (differing hashes ↔ the expansion with least/greatest id
+      orientation; equal hashes ↔ the within join), and the banded
+      blow-up now scales with distinct hashes, a real factor on
+      duplicate-heavy corpora;
+    - each hash pair is emitted from its FIRST matching band only
+      (join predicate: every earlier band's key differs — pure bit
+      math on the two hashes), so no pair is produced twice and the
+      giant dropDuplicates shuffle disappears outright;
+    - the hamming filter is part of the join predicate, so candidates
+      are evaluated inside the join (codegen'd bit math per candidate)
+      and only true ≤-radius pairs ever materialize."""
     band_bounds = _simhash_band_bounds(max_hamming + 1)
-    bands = sh.select(
-        id_col,
+
+    def band_key(col, i):
+        lo, width = band_bounds[i]
+        # width 64 (radius 0, one band) would overflow a Java long;
+        # an all-ones mask is the identity, expressed as -1
+        mask = -1 if width >= 64 else (1 << width) - 1
+        return F.shiftrightunsigned(col, lo).bitwiseAND(F.lit(mask))
+
+    # explicit repartition after the distinct: its output is a few
+    # hundred KB, so AQE's partition coalescing otherwise folds it to
+    # ONE partition — and the explode + banded-join candidate loop
+    # fused downstream then runs single-threaded (measured: the whole
+    # sf1.0 radius-10 join sat in one task >600 s; thread-dumped to
+    # find it). A user-specified repartition is exempt from AQE
+    # coalescing, and the exchange moves only the distinct hashes.
+    distinct = (
+        sh.select("simhash")
+        .distinct()
+        .repartition(sh.sparkSession.sparkContext.defaultParallelism)
+    )
+    bands = distinct.select(
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("simhash", lo)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("key"),
+                        band_key(F.col("simhash"), i).alias("key"),
                     )
-                    for i, (lo, width) in enumerate(band_bounds)
+                    for i in range(len(band_bounds))
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    sha, shb = F.col("a.simhash"), F.col("b.simhash")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (sha < shb)
+        & (F.bit_count(sha.bitwiseXOR(shb)) <= max_hamming)
+    )
+    for u in range(len(band_bounds)):
+        cond = cond & (
+            (F.col("a.band") <= u) | (band_key(sha, u) != band_key(shb, u))
+        )
+    hash_pairs = a.join(b, cond).select(
+        sha.alias("sh_a"),
+        shb.alias("sh_b"),
+        F.bit_count(sha.bitwiseXOR(shb)).alias("hamming"),
+    )
+    left = sh.select(F.col(id_col).alias("_ia"), F.col("simhash").alias("sh_a"))
+    right = sh.select(F.col(id_col).alias("_ib"), F.col("simhash").alias("sh_b"))
+    cross = (
+        hash_pairs.join(left, "sh_a")
+        .join(right, "sh_b")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    within = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.simhash") == F.col("y.simhash"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            F.lit(0).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
-    )
+    return cross.unionByName(within)
 
 
 def simhash_pairs(
