@@ -89,9 +89,12 @@ def test_dispatcher_switches_at_cap(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = {(r.id_a, r.id_b) for r in out.collect()}
     assert got == set(_numpy_pairs(M, 0.9))
-    # under the cap → broadcast-array scan (zero-shuffle fast path)
+    # under the cap → matmul-prefilter broadcast scan (r6 shape:
+    # MapInArrow candidates + broadcast-join exact verify; the r5
+    # BroadcastNestedLoopJoin array scan is gone)
     small = embedding_dup_pairs_exact(
         df.limit(50), threshold=0.9, broadcast_cap_bytes=64 << 20
     )
     plan_small = small._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan_small
+    assert "MapInArrow" in plan_small
+    assert "CartesianProduct" not in plan_small

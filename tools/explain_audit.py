@@ -39,7 +39,9 @@ AUDITS = {
     # the zero-shuffle broadcast-array scan; beyond the cap the EXACT
     # projection-banded bucket equi-join (no table broadcast) — plan
     # asserted by tests/test_round3_scale.py
-    "q33_embedding_dups": ["BroadcastNestedLoopJoin", "Generate"],
+    # r6 shape: numpy-matmul prefilter (MapInArrow) + broadcast-join
+    # exact JVM verify of the output-sized candidates
+    "q33_embedding_dups": ["MapInArrow", "BroadcastHashJoin"],
     # bucketed co-located assembly: the ref→node join must be
     # Exchange-free (bucket co-location); only the final groupBy shuffles
     "q45_bucketed_assembly": ["SortMergeJoin"],
