@@ -87,6 +87,8 @@ def widen(
 
     from pyspark.sql import functions as F
 
+    if df.isStreaming:  # no .rdd/inputFiles on streaming plans
+        return df
     # size gate FIRST: inputFiles() reads the (already cached) file
     # index without compiling a physical plan, while getNumPartitions
     # costs a full plan-to-RDD conversion on the driver — skipping it
